@@ -1,0 +1,259 @@
+"""Featherstone articulated rigid-body dynamics: CRBA + RNEA, fp32, batched.
+
+TPU-native replacement for Bullet's C++ multibody solver behind
+p.stepSimulation (reference hot loop: assistive_gym/envs/env.py:133-134).
+Formulated in world-origin spatial coordinates (Featherstone's Plücker
+coordinates about a fixed origin): every link's spatial inertia, motion
+subspace, velocity and force live at the world origin, which removes all
+frame transforms from CRBA/RNEA inner loops — each pass is a short unrolled
+chain of 3-vector/3x3 ops that XLA fuses into one kernel, `vmap`ped over the
+env batch.
+
+Spatial vector layout: motion m = [omega; v_O], force f = [n_O; f].
+
+Joint PD position control reproduces Bullet's POSITION_CONTROL servo
+(reference env.py:127-129, setJointMotorControlArray with positionGains and
+force caps): a velocity-level motor impulse lambda = m_app * (kp*dq/dt - kd*qd)
+clamped to +-maxForce*dt, where m_app is the joint's apparent inertia from
+the articulated mass matrix.
+
+The reference's mass=0 "static link" trick (world_creation.py:140-144) maps
+to the `active` dof mask: frozen dofs hold position exactly.
+
+All matmuls here are tiny (3x3 / 6x6 / ndof^2) and must be exact fp32 even on
+TPU (where the MXU defaults to bf16 inputs), so public entry points run under
+jax.default_matmul_precision('float32'); the cost is negligible at these
+shapes and it keeps rollouts bit-reproducible across platforms.
+"""
+from __future__ import annotations
+
+import functools
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import math3d as m3
+from .kinematics import FK, fk
+from .model import ArticulatedModel, JOINT_PRISMATIC, JOINT_REVOLUTE
+
+
+def _f32_matmuls(fn):
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("float32"):
+            return fn(*args, **kwargs)
+    return wrapped
+
+
+def _skew(v):
+    x, y, z = v[..., 0], v[..., 1], v[..., 2]
+    zero = jnp.zeros_like(x)
+    return jnp.stack([
+        jnp.stack([zero, -z, y], -1),
+        jnp.stack([z, zero, -x], -1),
+        jnp.stack([-y, x, zero], -1),
+    ], -2)
+
+
+def _spatial_inertia_origin(model: ArticulatedModel, fk_res: FK) -> jnp.ndarray:
+    """f32[L,6,6] spatial inertia of each link about the world origin."""
+    Rl = m3.quat_to_mat(fk_res.quat)                      # [L,3,3]
+    Rp = m3.quat_to_mat(jnp.asarray(model.inertia_quat))  # [L,3,3]
+    R = Rl @ Rp
+    Ic = R @ (jnp.asarray(model.inertia_diag)[:, :, None] * jnp.swapaxes(R, -1, -2))
+    c = fk_res.pos + m3.quat_rotate(fk_res.quat, jnp.asarray(model.com))  # world com
+    m = jnp.asarray(model.mass)[:, None, None]
+    cx = _skew(c)
+    top_left = Ic + m * (cx @ jnp.swapaxes(cx, -1, -2))
+    top_right = m * cx
+    bot_left = m * jnp.swapaxes(cx, -1, -2)
+    bot_right = m * jnp.broadcast_to(jnp.eye(3, dtype=cx.dtype), cx.shape)
+    return jnp.concatenate([
+        jnp.concatenate([top_left, top_right], -1),
+        jnp.concatenate([bot_left, bot_right], -1),
+    ], -2)
+
+
+def _motion_subspace(model: ArticulatedModel, fk_res: FK) -> jnp.ndarray:
+    """f32[ndof,6]: joint motion subspace per dof, world-origin coordinates."""
+    cols = []
+    for li in model.dof_links:
+        li = int(li)
+        a = m3.quat_rotate(fk_res.quat[li], jnp.asarray(model.axis[li]))
+        p = fk_res.pos[li]
+        if model.joint_type[li] == JOINT_REVOLUTE:
+            cols.append(jnp.concatenate([a, jnp.cross(p, a)]))
+        else:
+            cols.append(jnp.concatenate([jnp.zeros_like(a), a]))
+    return jnp.stack(cols)
+
+
+def _cross_motion(m1, m2):
+    w1, v1 = m1[..., :3], m1[..., 3:]
+    w2, v2 = m2[..., :3], m2[..., 3:]
+    return jnp.concatenate([jnp.cross(w1, w2), jnp.cross(w1, v2) + jnp.cross(v1, w2)], -1)
+
+
+def _cross_force(m, f):
+    w, v = m[..., :3], m[..., 3:]
+    n, fl = f[..., :3], f[..., 3:]
+    return jnp.concatenate([jnp.cross(w, n) + jnp.cross(v, fl), jnp.cross(w, fl)], -1)
+
+
+@_f32_matmuls
+def crba(model: ArticulatedModel, fk_res: FK) -> jnp.ndarray:
+    """Composite-rigid-body mass matrix f32[ndof,ndof] (Featherstone CRBA)."""
+    I_O = _spatial_inertia_origin(model, fk_res)
+    S = _motion_subspace(model, fk_res)
+    L = model.nlinks
+    dof_index = model.dof_index
+    # composite subtree inertias (backward accumulation, unrolled)
+    Ic = [I_O[i] for i in range(L)]
+    for i in range(L - 1, -1, -1):
+        p = int(model.parent[i])
+        if p >= 0:
+            Ic[p] = Ic[p] + Ic[i]
+    n = model.ndof
+    M = jnp.zeros((n, n), dtype=fk_res.pos.dtype)
+    for j_link in model.dof_links:
+        j_link = int(j_link)
+        dj = int(dof_index[j_link])
+        F = Ic[j_link] @ S[dj]
+        M = M.at[dj, dj].set(jnp.dot(S[dj], F))
+        k = int(model.parent[j_link])
+        while k >= 0:
+            dk = int(dof_index[k])
+            if dk >= 0:
+                val = jnp.dot(S[dk], F)
+                M = M.at[dj, dk].set(val)
+                M = M.at[dk, dj].set(val)
+            k = int(model.parent[k])
+    return M
+
+
+@_f32_matmuls
+def rnea_bias(model: ArticulatedModel, fk_res: FK, qd: jnp.ndarray,
+              gravity: jnp.ndarray) -> jnp.ndarray:
+    """Bias torques C(q,qd) + g(q): RNEA with qdd = 0, f32[ndof].
+
+    Gravity enters as the standard fictitious base acceleration -g.
+    Per-body gravity (the reference's p.setGravity(..., body=...) trick,
+    e.g. feeding.py:171-173) is supported since each articulated system is
+    its own model.
+    """
+    I_O = _spatial_inertia_origin(model, fk_res)
+    S = _motion_subspace(model, fk_res)
+    L = model.nlinks
+    dof_index = model.dof_index
+    zero6 = jnp.zeros(6, dtype=fk_res.pos.dtype)
+    a_base = jnp.concatenate([jnp.zeros(3, dtype=gravity.dtype), -gravity])
+    v = [zero6] * L
+    a = [zero6] * L
+    f = [zero6] * L
+    for i in range(L):
+        p = int(model.parent[i])
+        vp = zero6 if p < 0 else v[p]
+        ap = a_base if p < 0 else a[p]
+        d = int(dof_index[i])
+        if d >= 0:
+            vj = S[d] * qd[d]
+            v[i] = vp + vj
+            a[i] = ap + _cross_motion(vp, vj)
+        else:
+            v[i] = vp
+            a[i] = ap
+        f[i] = I_O[i] @ a[i] + _cross_force(v[i], I_O[i] @ v[i])
+    tau = [None] * model.ndof
+    for i in range(L - 1, -1, -1):
+        d = int(dof_index[i])
+        if d >= 0:
+            tau[d] = jnp.dot(S[d], f[i])
+        p = int(model.parent[i])
+        if p >= 0:
+            f[p] = f[p] + f[i]
+    return jnp.stack(tau)
+
+
+class StepResult(NamedTuple):
+    q: jnp.ndarray
+    qd: jnp.ndarray
+
+
+@_f32_matmuls
+def substep(
+    model: ArticulatedModel,
+    q: jnp.ndarray,
+    qd: jnp.ndarray,
+    dt: float,
+    gravity,
+    tau_ext: Optional[jnp.ndarray] = None,   # contact torques, f32[ndof]
+    active: Optional[jnp.ndarray] = None,    # bool[ndof] moving dofs
+    motor_target: Optional[jnp.ndarray] = None,  # f32[ndof]
+    motor_kp: Optional[jnp.ndarray] = None,
+    motor_kd: Optional[jnp.ndarray] = None,
+    motor_force: Optional[jnp.ndarray] = None,   # torque cap per dof
+    motor_on: Optional[jnp.ndarray] = None,      # bool[ndof]
+    limit_lower: Optional[jnp.ndarray] = None,
+    limit_upper: Optional[jnp.ndarray] = None,
+    fk_res: Optional[FK] = None,
+    base_pos: Optional[jnp.ndarray] = None,
+    base_quat: Optional[jnp.ndarray] = None,
+) -> StepResult:
+    """One semi-implicit Euler physics substep of a fixed-base tree.
+
+    Order mirrors Bullet's pipeline: forward dynamics (gravity + external
+    contact torques + joint damping), motor impulses (position servo with
+    force caps), integrate, hard joint-limit projection
+    (reference: env.py:133-137,179-201).
+    """
+    n = model.ndof
+    f32 = q.dtype
+    if fk_res is None:
+        bp = jnp.zeros(3, f32) if base_pos is None else base_pos
+        bq = jnp.array([0, 0, 0, 1], f32) if base_quat is None else base_quat
+        fk_res = fk(model, q, bp, bq)
+    gravity = jnp.asarray(gravity, f32)
+    tau = jnp.zeros(n, f32) if tau_ext is None else tau_ext
+    act = jnp.ones(n, bool) if active is None else active
+
+    M = crba(model, fk_res)
+    bias = rnea_bias(model, fk_res, qd * act, gravity)
+    damping = jnp.asarray(model.damping[model.dof_links], f32)
+
+    # Freeze masked dofs by identity rows/cols (exact hold, like mass=0 links).
+    actf = act.astype(f32)
+    mask = actf[:, None] * actf[None, :]
+    M_act = M * mask + jnp.diag(1.0 - actf)
+    # implicit joint damping for stability
+    M_imp = M_act + jnp.diag(damping * actf) * dt
+    rhs = (tau - bias - damping * qd) * actf
+    Mchol = jax.scipy.linalg.cho_factor(M_imp + 1e-8 * jnp.eye(n, dtype=f32))
+    qdd = jax.scipy.linalg.cho_solve(Mchol, rhs)
+    qd1 = qd + dt * qdd * actf
+
+    # --- position-servo motor impulses (Bullet POSITION_CONTROL parity) ---
+    if motor_target is not None:
+        Minv_diag = jnp.diagonal(jax.scipy.linalg.cho_solve(Mchol, jnp.eye(n, dtype=f32)))
+        m_app = 1.0 / jnp.maximum(Minv_diag, 1e-8)
+        kp = jnp.zeros(n, f32) if motor_kp is None else motor_kp
+        kd = jnp.ones(n, f32) if motor_kd is None else motor_kd
+        cap = jnp.full(n, jnp.inf, f32) if motor_force is None else motor_force
+        on = jnp.ones(n, bool) if motor_on is None else motor_on
+        v_err = kp * (motor_target - q) / dt - kd * qd1
+        lam = jnp.clip(m_app * v_err, -cap * dt, cap * dt)
+        qd1 = qd1 + jnp.where(on & act, lam / m_app, 0.0)
+
+    q1 = q + dt * qd1 * actf
+
+    # --- hard joint-limit projection (env.py:179-201 semantics) ---
+    if limit_lower is not None:
+        limited = limit_upper >= limit_lower   # pybullet (0,-1) = unlimited
+        q_cl = jnp.clip(q1, limit_lower, limit_upper)
+        hit = limited & (q_cl != q1)
+        q1 = jnp.where(limited, q_cl, q1)
+        qd1 = jnp.where(hit, 0.0, qd1)
+
+    return StepResult(q1, qd1 * actf)

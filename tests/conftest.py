@@ -1,0 +1,16 @@
+"""Test configuration: run on a virtual 8-device CPU mesh.
+
+The standard JAX trick for exercising pjit/shard_map multi-chip code paths
+without a pod (SURVEY.md §4): tests must behave identically on TPU.
+Note: the axon TPU plugin overrides JAX_PLATFORMS, so we must force the
+platform through jax.config, not the environment.
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
