@@ -1,0 +1,449 @@
+"""Core batched env engine: scene composition + the take_step control loop.
+
+TPU-native re-design of AssistiveEnv (reference env.py:14-416).  Everything
+the reference does with a mutable PyBullet world — motor array calls,
+stepSimulation loops, contact readbacks, joint-limit enforcement — collapses
+into one pure function per task:
+
+    step: (EnvState, action) -> (EnvState, obs, reward, done, info)
+
+vmapped over the env batch and scanned over frame_skip substeps.  All shapes
+are static; per-env variation (gender dims, impairments) flows through
+dynamic state fields (see EnvState.human).
+
+Control-loop parity with env.py:85-142 (take_step):
+  action clipped to [-1,1], scaled by 0.05, integrated frame_skip times onto
+  joint targets with limit masking, tremor wobble on the human target, then
+  frame_skip physics substeps under PD position servos with force caps,
+  with learned + hard human joint-limit enforcement per substep.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from .. import config as cfgmod
+from ..models import human as human_mod
+from ..models import robots as robots_mod
+from ..ops import arm_limits
+from ..ops import math3d as m3
+from ..physics import contact as con
+from ..physics import dynamics as dyn
+from ..physics import kinematics as kin
+from ..physics import model as pm
+
+# impairment codes (world_creation.py:59-65)
+IMP_NONE, IMP_LIMITS, IMP_WEAKNESS, IMP_TREMOR = 0, 1, 2, 3
+
+f32 = jnp.float32
+
+
+@struct.dataclass
+class EnvState:
+    key: jax.Array
+    t: jax.Array                      # control-step counter (env.py:91)
+    robot_q: jax.Array
+    robot_qd: jax.Array
+    human_q: jax.Array
+    human_qd: jax.Array
+    robot_base_pos: jax.Array
+    robot_base_quat: jax.Array
+    human_base_pos: jax.Array
+    human_base_quat: jax.Array
+    human_active: jax.Array           # bool[nh]: moving (non-static-trick) dofs
+    human_motor_kp: jax.Array         # f32[nh]
+    human_motor_force: jax.Array      # f32[nh]
+    target_human_joint_positions: jax.Array  # f32[nh]
+    human: Dict[str, jax.Array]       # dynamic human params (see sample_human)
+    geom_p0: jax.Array                # f32[G,3] full-scene dynamic geometry
+    geom_p1: jax.Array
+    geom_radius: jax.Array
+    prev_valid_right: jax.Array       # f32[4] last valid right-arm pose
+    prev_valid_left: jax.Array
+    task_success: jax.Array
+    aux: Dict[str, jax.Array]         # task-specific
+
+
+@dataclasses.dataclass(frozen=True)
+class SceneSpec:
+    """Static per-(task, robot) configuration; baked into the jit."""
+    task: str
+    robot_name: str
+    human_control: bool
+    cfg: cfgmod.TaskConfig
+    frame_skip: int
+    time_step: float
+    action_robot_len: int
+    action_human_len: int
+    obs_robot_len: int
+    obs_human_len: int
+    robot: pm.ArticulatedModel        # tool welded in
+    human: pm.ArticulatedModel        # topology; arrays = male (overridden)
+    info: robots_mod.RobotInfo
+    arm_dofs: Tuple[int, ...]         # robot dof indices of the commanded arm(s)
+    robot_active: np.ndarray          # bool[nr]
+    human_controllable: Tuple[int, ...]
+    geoms: con.GeomSet
+    pairs: con.PairTable
+    groups: Dict[str, int]
+    n_human_links: int
+    gravity_robot: Tuple[float, float, float]
+    gravity_human: Tuple[float, float, float]
+    human_gains: float                # take_step human_gains arg per task
+    human_forces: float
+    tool_base_link: int = -1
+    tool_tip_link: int = -1
+    human_params_mf: Any = None       # (male, female) static param dicts
+    substep_hook: Optional[Callable] = None  # (spec,state_aux,fk_h,fk_r,dt)->aux
+
+    @property
+    def action_len(self):
+        return self.action_robot_len + self.action_human_len
+
+    @property
+    def obs_len(self):
+        return self.obs_robot_len + self.obs_human_len
+
+
+# -------------------------------------------------------------- human sampling
+
+_SCALED_DOFS = 24  # arm + head dofs get limit_scale; waist/legs don't
+                   # (human_creation.py:184-221 vs :234-263)
+
+
+def static_human_params(gender: str, cloth: bool = False):
+    """Host-side per-gender arrays used to build dynamic state at reset."""
+    model, geoms, dims = human_mod.build_human(gender, 1.0, cloth=cloth)
+    dl = model.dof_links
+    return dict(
+        origin_xyz=model.origin_xyz,
+        com=model.com,
+        mass=model.mass,
+        inertia_diag=model.inertia_diag,
+        lower=model.lower[dl],
+        upper=model.upper[dl],
+        geom_p0=np.array([g.get("p0", (0, 0, 0)) for g in geoms], np.float32),
+        geom_p1=np.array([g.get("p1", g.get("p0", (0, 0, 0))) for g in geoms], np.float32),
+        geom_radius=np.array([g.get("radius", 0.0) for g in geoms], np.float32),
+        base_height=dims.base_height,
+        mouth_pos=np.asarray(dims.mouth_pos, np.float32),
+        arm_dims=np.asarray([dims.upperarm_l, dims.upperarm_r,
+                             dims.forearm_l, dims.forearm_r,
+                             dims.hand_r], np.float32),
+    )
+
+
+def sample_human(key: jax.Array, spec: SceneSpec, impairment: str = "random"):
+    """Gender + impairment sampling (world_creation.py:56-65) as a pure fn.
+
+    Returns dict of dynamic human params for EnvState.human.
+    """
+    km, ki, kl, ks, kt = jax.random.split(key, 5)
+    male, female = spec.human_params_mf
+    is_male = jax.random.bernoulli(km, 0.5)
+
+    if impairment == "random":
+        imp = jax.random.randint(ki, (), 0, 4)
+    elif impairment == "no_tremor":
+        imp = jax.random.randint(ki, (), 0, 3)
+    elif impairment == "none":
+        imp = jnp.zeros((), jnp.int32)
+    else:
+        raise ValueError(impairment)
+
+    limit_scale = jnp.where(imp == IMP_LIMITS,
+                            jax.random.uniform(kl, (), f32, 0.5, 1.0), 1.0)
+    strength = jnp.where(imp == IMP_WEAKNESS,
+                         jax.random.uniform(ks, (), f32, 0.25, 1.0), 1.0)
+    ncj = len(spec.human_controllable)
+    tremor_mag = math.radians(20.0) if ncj == 4 else math.radians(10.0)
+    tremors_c = jax.random.uniform(kt, (max(ncj, 1),), f32, -tremor_mag, tremor_mag)
+    nh = spec.human.ndof
+    tremors = jnp.zeros(nh, f32)
+    if ncj:
+        tremors = tremors.at[np.asarray(spec.human_controllable)].set(
+            jnp.where(imp == IMP_TREMOR, tremors_c, 0.0))
+
+    sel = lambda k: jnp.where(is_male, jnp.asarray(male[k]), jnp.asarray(female[k]))
+    scale_mask = np.arange(nh) < _SCALED_DOFS
+    lower = sel("lower") * jnp.where(scale_mask, limit_scale, 1.0)
+    upper = sel("upper") * jnp.where(scale_mask, limit_scale, 1.0)
+    return dict(
+        gender_male=is_male,
+        impairment=imp,
+        limit_scale=limit_scale,
+        strength=strength,
+        tremors=tremors,
+        origin_xyz=sel("origin_xyz"),
+        com=sel("com"),
+        mass=sel("mass"),
+        inertia_diag=sel("inertia_diag"),
+        lower=lower,
+        upper=upper,
+        base_height=jnp.where(is_male, male["base_height"], female["base_height"]),
+        mouth_pos=sel("mouth_pos"),
+        arm_dims=sel("arm_dims"),
+    )
+
+
+def scene_geom_state(spec: SceneSpec, human_params) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Full-scene dynamic geometry arrays: human slice per gender, rest static."""
+    nhg = spec.human_params_mf[0]["geom_p0"].shape[0]
+    male, female = spec.human_params_mf
+    is_male = human_params["gender_male"]
+    hsel = lambda k: jnp.where(is_male, jnp.asarray(male[k]), jnp.asarray(female[k]))
+    p0 = jnp.asarray(spec.geoms.p0).at[:nhg].set(hsel("geom_p0"))
+    p1 = jnp.asarray(spec.geoms.p1).at[:nhg].set(hsel("geom_p1"))
+    radius = jnp.asarray(spec.geoms.radius).at[:nhg].set(hsel("geom_radius"))
+    return p0, p1, radius
+
+
+# -------------------------------------------------------------- physics engine
+
+
+def scene_fk(spec: SceneSpec, state: EnvState):
+    fk_h = kin.fk(spec.human, state.human_q, state.human_base_pos,
+                  state.human_base_quat, origin_xyz=state.human["origin_xyz"])
+    fk_r = kin.fk(spec.robot, state.robot_q, state.robot_base_pos,
+                  state.robot_base_quat)
+    return fk_h, fk_r
+
+
+def scene_contacts(spec: SceneSpec, state: EnvState, fk_h, fk_r,
+                   vel_h=None, vel_r=None) -> con.ContactResult:
+    link_pos = jnp.concatenate([fk_h.pos, fk_r.pos], 0)
+    link_quat = jnp.concatenate([fk_h.quat, fk_r.quat], 0)
+    if vel_h is not None:
+        link_v = jnp.concatenate([vel_h.v, vel_r.v], 0)
+        link_w = jnp.concatenate([vel_h.w, vel_r.w], 0)
+    else:
+        link_v = link_w = None
+    return con.evaluate(spec.geoms, spec.pairs, link_pos, link_quat,
+                        link_v, link_w,
+                        p0=state.geom_p0, p1=state.geom_p1,
+                        radius=state.geom_radius)
+
+
+def _human_inertial(state: EnvState):
+    return dict(mass=state.human["mass"], com=state.human["com"],
+                inertia_diag=state.human["inertia_diag"])
+
+
+def take_step(spec: SceneSpec, state: EnvState, action: jax.Array,
+              ) -> Tuple[EnvState, con.ContactResult, Any, Any]:
+    """The env.py:85-142 control loop: returns (state', contacts, fk_h, fk_r).
+
+    Contacts/FK are evaluated at the final post-step configuration, matching
+    the reference's pattern of reading getContactPoints/getLinkState after
+    the substep loop.
+    """
+    cfg = spec.cfg
+    dt = spec.time_step
+    nr, nh = spec.robot.ndof, spec.human.ndof
+    arm = np.asarray(spec.arm_dofs, np.int32)
+    na = spec.action_robot_len
+
+    action = jnp.clip(action, -1.0, 1.0) * 0.05
+    action_robot = action[:na]
+    t_new = state.t + 1
+
+    # --- integrate robot joint targets with limit masking (env.py:115-118) ---
+    rl, ru = spec.robot.dof_limits()
+    rl, ru = jnp.asarray(rl)[arm], jnp.asarray(ru)[arm]
+    limited = ru >= rl
+    q_arm = state.robot_q[arm]
+    a = action_robot
+    for _ in range(spec.frame_skip):
+        viol = limited & ((q_arm + a < rl) | (q_arm + a > ru))
+        a = jnp.where(viol, 0.0, a)
+        q_arm = q_arm + a
+    robot_target = state.robot_q.at[arm].set(q_arm)
+
+    # --- human targets: tremor wobble + co-control action (env.py:119-125) ---
+    # The reference drives human motors from take_step only when the human is
+    # co-controlled or has tremor (env.py:99,128-129); otherwise the reactive
+    # PD installed at reset keeps holding the initial pose
+    # (world_creation.py:152-157).
+    hc = np.asarray(spec.human_controllable, np.int32) if spec.human_controllable else None
+    thjp = state.target_human_joint_positions
+    human_target = thjp
+    is_tremor = state.human["impairment"] == IMP_TREMOR
+    if hc is not None:
+        if spec.human_control:
+            a_h = action[na:na + len(spec.human_controllable)]
+        else:
+            a_h = jnp.zeros(len(spec.human_controllable), f32)
+        hl = state.human["lower"][hc]
+        hu = state.human["upper"][hc]
+        q_h = state.human_q[hc]
+        thjp_c = thjp[hc]
+        tremor_sign = jnp.where(t_new % 2 == 0, 1.0, -1.0)
+        for _ in range(spec.frame_skip):
+            viol = (q_h + a_h < hl) | (q_h + a_h > hu)
+            a_h = jnp.where(viol, 0.0, a_h)
+            # tremor: servo target wobbles around the integrated centre
+            wob = thjp_c + state.human["tremors"][hc] * tremor_sign
+            q_h = jnp.where(is_tremor, wob, q_h) + a_h
+            thjp_c = thjp_c + jnp.where(is_tremor, a_h, 0.0)
+        apply = jnp.logical_or(is_tremor, spec.human_control)
+        human_target = thjp.at[hc].set(jnp.where(apply, q_h, thjp[hc]))
+        thjp = thjp.at[hc].set(jnp.where(is_tremor, thjp_c, thjp[hc]))
+
+    # --- motor setups (env.py:127-129) ---
+    r_kp = jnp.full(nr, cfg.robot_gains, f32)
+    r_force = jnp.full(nr, cfg.robot_forces, f32)
+    r_active = jnp.asarray(spec.robot_active)
+    h_active = state.human_active
+    h_kp = state.human_motor_kp
+    h_force = state.human_motor_force
+    if hc is not None:
+        apply = jnp.logical_or(is_tremor, spec.human_control)
+        h_kp = h_kp.at[hc].set(jnp.where(apply, spec.human_gains, h_kp[hc]))
+        h_force = h_force.at[hc].set(
+            jnp.where(apply, spec.human_forces * state.human["strength"], h_force[hc]))
+
+    # --- frame_skip physics substeps (env.py:133-137) ---
+    def substep(carry, _):
+        rq, rqd, hq, hqd, pvr, pvl = carry
+        fk_r = kin.fk(spec.robot, rq, state.robot_base_pos, state.robot_base_quat)
+        fk_h = kin.fk(spec.human, hq, state.human_base_pos, state.human_base_quat,
+                      origin_xyz=state.human["origin_xyz"])
+        vel_r = kin.link_velocities(spec.robot, fk_r, rqd)
+        vel_h = kin.link_velocities(spec.human, fk_h, hqd)
+        c = con.evaluate(spec.geoms, spec.pairs,
+                         jnp.concatenate([fk_h.pos, fk_r.pos], 0),
+                         jnp.concatenate([fk_h.quat, fk_r.quat], 0),
+                         jnp.concatenate([vel_h.v, vel_r.v], 0),
+                         jnp.concatenate([vel_h.w, vel_r.w], 0),
+                         p0=state.geom_p0, p1=state.geom_p1,
+                         radius=state.geom_radius)
+        Lh = spec.n_human_links
+        tau_r = kin.link_wrenches_to_joint_torques(
+            spec.robot, fk_r, c.link_force[Lh:], c.link_torque[Lh:])
+        tau_h = kin.link_wrenches_to_joint_torques(
+            spec.human, fk_h, c.link_force[:Lh], c.link_torque[:Lh])
+
+        res_r = dyn.substep(
+            spec.robot, rq, rqd, dt, jnp.asarray(spec.gravity_robot, f32),
+            tau_ext=tau_r, active=r_active,
+            motor_target=robot_target, motor_kp=r_kp, motor_force=r_force,
+            limit_lower=jnp.asarray(spec.robot.dof_limits()[0]),
+            limit_upper=jnp.asarray(spec.robot.dof_limits()[1]),
+            fk_res=fk_r)
+        res_h = dyn.substep(
+            spec.human, hq, hqd, dt, jnp.asarray(spec.gravity_human, f32),
+            tau_ext=tau_h, active=h_active,
+            motor_target=human_target, motor_kp=h_kp, motor_force=h_force,
+            limit_lower=state.human["lower"], limit_upper=state.human["upper"],
+            fk_res=fk_h, inertial=_human_inertial(state))
+        hq2, hqd2 = res_h.q, res_h.qd
+        # learned pose-dependent limits (env.py:135-136): enforced when the
+        # human arm is actively controlled
+        if spec.human_control and spec.human_controllable:
+            if 3 in spec.human_controllable:
+                hq2, hqd2, pvr = arm_limits.enforce_realistic_limits(
+                    hq2, hqd2, pvr, (3, 4, 5, 6), right=True)
+            if 13 in spec.human_controllable:
+                hq2, hqd2, pvl = arm_limits.enforce_realistic_limits(
+                    hq2, hqd2, pvl, (13, 14, 15, 16), right=False)
+        return (res_r.q, res_r.qd, hq2, hqd2, pvr, pvl), None
+
+    carry0 = (state.robot_q, state.robot_qd, state.human_q, state.human_qd,
+              state.prev_valid_right, state.prev_valid_left)
+    (rq, rqd, hq, hqd, pvr, pvl), _ = jax.lax.scan(
+        substep, carry0, None, length=spec.frame_skip)
+
+    state = state.replace(
+        t=t_new, robot_q=rq, robot_qd=rqd, human_q=hq, human_qd=hqd,
+        prev_valid_right=pvr, prev_valid_left=pvl,
+        target_human_joint_positions=thjp)
+
+    # final-configuration readbacks for rewards/obs
+    fk_h, fk_r = scene_fk(spec, state)
+    vel_h = kin.link_velocities(spec.human, fk_h, hqd)
+    vel_r = kin.link_velocities(spec.robot, fk_r, rqd)
+    contacts = scene_contacts(spec, state, fk_h, fk_r, vel_h, vel_r)
+    return state, contacts, (fk_h, fk_r), (vel_h, vel_r)
+
+
+# ------------------------------------------------------------ preference reward
+
+
+def human_preferences(
+    spec: SceneSpec,
+    end_effector_velocity=0.0,
+    total_force_on_human=0.0,
+    tool_force_at_target=0.0,
+    food_hit_human_reward=0.0,
+    food_mouth_velocities_sum=0.0,
+    dressing_force_sum=0.0,
+    arm_manipulation_tool_pressures=0.0,
+    arm_manipulation_forces=None,
+):
+    """Unified human-preference reward (env.py:203-239), batched scalars."""
+    C = cfgmod.PREFERENCES
+    reward_velocity = -end_effector_velocity
+    reward_high_target_forces = jnp.where(
+        tool_force_at_target < 10.0, 0.0, -tool_force_at_target)
+    if spec.task in ("scooping", "feeding", "drinking"):
+        reward_force_nontarget = -total_force_on_human
+    elif spec.task == "arm_manipulation" and arm_manipulation_forces is not None:
+        total, tool_sum = arm_manipulation_forces
+        reward_force_nontarget = -(total - tool_sum)
+    else:
+        reward_force_nontarget = -(total_force_on_human - tool_force_at_target)
+    reward_food_hit = food_hit_human_reward
+    reward_food_vel = -food_mouth_velocities_sum
+    reward_dressing = -dressing_force_sum
+    reward_pressures = -arm_manipulation_tool_pressures
+    return (C.velocity_weight * reward_velocity
+            + C.force_nontarget_weight * reward_force_nontarget
+            + C.high_forces_weight * reward_high_target_forces
+            + C.food_hit_weight * reward_food_hit
+            + C.food_velocities_weight * reward_food_vel
+            + C.dressing_force_weight * reward_dressing
+            + C.high_pressures_weight * reward_pressures)
+
+
+# ------------------------------------------------------------ scene assembly
+
+
+def compose_robot_with_tool(task: str, robot_name: str, left: bool = True):
+    """Weld the task tool onto the robot's gripper (world_creation.py:308-346
+    init_tool semantics, but as a kinematic-tree extension).
+
+    Returns (model, tool_base_link, tool_tip_link, info)."""
+    info = robots_mod.ROBOT_INFO[robot_name]
+    model = robots_mod.load_robot(robot_name, arm_manipulation=(task == "arm_manipulation"))
+    attach = robots_mod.TOOL_ATTACH.get((task, robot_name))
+    if attach is None:
+        return model, -1, -1, info
+    pos, euler = attach
+    quat = np.asarray(m3.quat_from_euler(jnp.asarray(euler, jnp.float32)))
+    ee = info.ee_left if left else info.ee_right
+    # tool masses from tool URDFs / reference createMultiBody calls
+    tool_mass = {"scratch_itch": 0.11, "bed_bathing": 3.0, "feeding": 0.01,
+                 "drinking": 0.01, "arm_manipulation": 0.0}[task]
+    model = pm.attach_fixed(model, ee, "tool_base", pos, quat, mass=tool_mass,
+                            inertia_diag=(1e-4, 1e-4, 1e-4))
+    tool_base = model.nlinks - 1
+    tip_off = {"scratch_itch": (0.075, 0.0, 0.0),   # tool_scratch.urdf tip
+               "bed_bathing": (0.0, 0.0, -0.0425),  # wiper pad centre
+               "feeding": (0.0, -0.05, -0.01),      # spoon bowl centre
+               "drinking": (0.0, 0.06, 0.0),        # cup body frame offset
+               "arm_manipulation": (0.0, 0.0, 0.0)}[task]
+    tip_quat = (0.0, 0.0, 0.0, 1.0)
+    if task == "drinking":
+        # cup frame: multiplyTransforms(cup, [0,0.06,0], euler(pi/2,0,0))
+        # (drinking.py:25)
+        tip_quat = tuple(np.asarray(m3.quat_from_euler(
+            jnp.asarray((math.pi / 2, 0.0, 0.0), jnp.float32))).tolist())
+    model = pm.attach_fixed(model, tool_base, "tool_tip", tip_off, tip_quat)
+    return model, tool_base, model.nlinks - 1, info

@@ -1,0 +1,167 @@
+"""Analytic narrow-phase collision kernels: batched, branch-free, fp32.
+
+TPU-native replacement for Bullet's collision pipeline as used by the
+reference (p.getContactPoints / p.getClosestPoints force and distance
+readbacks, e.g. scratch_itch.py:49-61, bed_bathing.py:22).  The human model
+is entirely capsules and spheres (human_creation.py:61-64), so the workhorse
+kernel is segment-segment distance; spheres are zero-length segments, which
+lets one kernel serve sphere-sphere, sphere-capsule and capsule-capsule.
+Boxes (furniture, wiper tool) and half-space planes complete the set; meshes
+from the reference (head, bed, dinnerware) are re-approximated as
+sphere/capsule/box sets (SURVEY.md §2.2 N2).
+
+All functions broadcast over leading batch axes and are pure jnp.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from . import math3d as m3
+
+_EPS = 1e-9
+
+
+def closest_point_segment(p, a, b):
+    """Closest point to p on segment ab."""
+    ab = b - a
+    t = jnp.sum((p - a) * ab, -1) / jnp.maximum(jnp.sum(ab * ab, -1), _EPS)
+    t = jnp.clip(t, 0.0, 1.0)
+    return a + t[..., None] * ab
+
+
+def seg_seg_closest(a0, a1, b0, b1):
+    """Closest points between segments (a0,a1) and (b0,b1).
+
+    Returns (pa, pb): the witness points.  Standard clamped quadratic
+    minimisation (Ericson, Real-Time Collision Detection §5.1.9),
+    branch-free via jnp.where so it vmaps cleanly.
+    """
+    d1 = a1 - a0
+    d2 = b1 - b0
+    r = a0 - b0
+    A = jnp.sum(d1 * d1, -1)
+    e = jnp.sum(d2 * d2, -1)
+    f = jnp.sum(d2 * r, -1)
+    c = jnp.sum(d1 * r, -1)
+    b = jnp.sum(d1 * d2, -1)
+    denom = A * e - b * b
+    # segment a parameter
+    s = jnp.where(denom > _EPS, jnp.clip((b * f - c * e) / jnp.maximum(denom, _EPS), 0.0, 1.0), 0.0)
+    # segment b parameter given s
+    t = (b * s + f) / jnp.maximum(e, _EPS)
+    # re-clamp s given clamped t
+    t_cl = jnp.clip(t, 0.0, 1.0)
+    s = jnp.where(
+        t != t_cl,
+        jnp.clip((t_cl * b - c) / jnp.maximum(A, _EPS), 0.0, 1.0),
+        s,
+    )
+    # degenerate segments
+    s = jnp.where(A <= _EPS, 0.0, s)
+    t_cl = jnp.where(e <= _EPS, 0.0, jnp.clip((b * s + f) / jnp.maximum(e, _EPS), 0.0, 1.0))
+    pa = a0 + s[..., None] * d1
+    pb = b0 + t_cl[..., None] * d2
+    return pa, pb
+
+
+def capsule_capsule(a0, a1, ra, b0, b1, rb):
+    """Signed distance, contact normal (b->a) and midpoint for two capsules.
+
+    dist < 0 means penetration of depth -dist.
+    """
+    pa, pb = seg_seg_closest(a0, a1, b0, b1)
+    d = pa - pb
+    dn = jnp.linalg.norm(d, axis=-1)
+    # fallback normal when axes intersect exactly
+    normal = jnp.where(dn[..., None] > _EPS, d / jnp.maximum(dn, _EPS)[..., None],
+                       jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], d.dtype), d.shape))
+    dist = dn - (ra + rb)
+    point = pb + normal * (rb + 0.5 * dist)[..., None]
+    return dist, normal, point
+
+
+def point_box(p, box_pos, box_quat, half):
+    """Closest point on an oriented box surface to p, plus signed distance."""
+    pl = m3.quat_rotate_inv(box_quat, p - box_pos)
+    clamped = jnp.clip(pl, -half, half)
+    outside = pl - clamped
+    d_out = jnp.linalg.norm(outside, axis=-1)
+    # inside: distance to nearest face (negative)
+    face_d = half - jnp.abs(pl)
+    min_face = jnp.min(face_d, axis=-1)
+    inside = jnp.all(jnp.abs(pl) <= half, axis=-1)
+    dist = jnp.where(inside, -min_face, d_out)
+    # normal in local frame
+    n_out = outside / jnp.maximum(d_out, _EPS)[..., None]
+    ax = jnp.argmin(face_d, axis=-1)
+    n_in = jnp.sign(pl) * (jnp.arange(3) == ax[..., None]).astype(pl.dtype)
+    n_local = jnp.where(inside[..., None], n_in, n_out)
+    surf_local = jnp.where(inside[..., None], clamped + n_in * min_face[..., None] - pl + pl, clamped)
+    normal = m3.quat_rotate(box_quat, n_local)
+    surf = box_pos + m3.quat_rotate(box_quat, surf_local)
+    return dist, normal, surf
+
+
+def capsule_box(a0, a1, r, box_pos, box_quat, half, iters: int = 24):
+    """Capsule vs oriented box: ternary search over the (convex) distance
+    along the capsule axis, then point-box.  Fixed iteration count keeps the
+    loop jit-static."""
+    lo = jnp.zeros(a0.shape[:-1], a0.dtype)
+    hi = jnp.ones(a0.shape[:-1], a0.dtype)
+
+    def dist_at(t):
+        p = a0 + t[..., None] * (a1 - a0)
+        d, _, _ = point_box(p, box_pos, box_quat, half)
+        return d
+
+    for _ in range(iters):
+        m1 = lo + (hi - lo) / 3.0
+        m2 = hi - (hi - lo) / 3.0
+        d1 = dist_at(m1)
+        d2 = dist_at(m2)
+        lo = jnp.where(d1 > d2, m1, lo)
+        hi = jnp.where(d1 > d2, hi, m2)
+    t = 0.5 * (lo + hi)
+    p = a0 + t[..., None] * (a1 - a0)
+    dist, normal, surf = point_box(p, box_pos, box_quat, half)
+    dist = dist - r
+    point = surf + normal * 0.5 * dist[..., None]
+    return dist, normal, point
+
+
+def capsule_plane(a0, a1, r, n, offset):
+    """Capsule vs half-space {x: n.x >= offset}. Normal points out of plane."""
+    d0 = jnp.sum(a0 * n, -1) - offset
+    d1 = jnp.sum(a1 * n, -1) - offset
+    dmin = jnp.minimum(d0, d1)
+    t = jnp.where(d0 <= d1, 0.0, 1.0)
+    p = a0 + t[..., None] * (a1 - a0)
+    dist = dmin - r
+    point = p - n * (jnp.sum(p * n, -1) - offset)[..., None]
+    normal = jnp.broadcast_to(n, p.shape)
+    return dist, normal, point
+
+
+def contact_force(dist, normal, rel_vel, stiffness, damping, friction,
+                  contact_margin: float = 0.0):
+    """Penalty contact force on body A (normal points B->A).
+
+    f_n = (k * depth + c * v_approach)_+ along the normal, plus Coulomb-capped
+    tangential viscous friction.  Bullet resolves contacts as velocity
+    constraints; this penalty model is calibrated so steady-state normal
+    forces land in the same few-newton range the reference rewards read
+    (scratch_itch.py:28-32 expects forces ~O(1-10 N)).
+
+    Returns (force_on_A f32[...,3], normal_force_magnitude f32[...]).
+    """
+    depth = jnp.maximum(-(dist - contact_margin), 0.0)
+    in_contact = depth > 0.0
+    v_n = jnp.sum(rel_vel * normal, -1)          # approach rate of A (>0 separating)
+    f_n = jnp.maximum(stiffness * depth - damping * v_n, 0.0) * in_contact
+    v_t = rel_vel - v_n[..., None] * normal
+    v_t_norm = jnp.linalg.norm(v_t, axis=-1)
+    f_t_mag = jnp.minimum(friction * f_n, 10.0 * f_n * 1.0)  # Coulomb cap
+    f_t_mag = jnp.where(v_t_norm > 1e-4, jnp.minimum(friction * f_n, f_t_mag), 0.0)
+    f_t = -v_t / jnp.maximum(v_t_norm, 1e-4)[..., None] * f_t_mag[..., None]
+    force = f_n[..., None] * normal + f_t * in_contact[..., None]
+    return force, f_n

@@ -1,0 +1,204 @@
+"""Scene-level contact pipeline: static pair tables -> penalty forces.
+
+TPU-native equivalent of Bullet's broadphase + contact solver + the
+reference's force readbacks.  Topology is fixed per task, so the broadphase
+is a precomputed pair table (SURVEY.md §2.2 N2) — including the reference's
+collision-filter surgery (human limb self-collision groups,
+human_creation.py:267-284; robot/tool filters, world_creation.py:202-212,
+331-344) which here simply means those pairs never enter the table.
+
+Force readback parity: the reference sums contact normal forces c[9] between
+body pairs (e.g. scratch_itch.py:49-61).  Every pair carries a `group` id and
+`evaluate` returns per-group normal-force sums, so task rewards read the same
+quantities as batched arrays.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import collision as col
+from ..ops import math3d as m3
+
+GEOM_SEG = 0    # sphere (p0==p1) or capsule, radius
+GEOM_BOX = 1    # oriented box, half-extents
+GEOM_PLANE = 2  # half-space: normal = p1 (unit, local), offset = radius
+
+
+@dataclasses.dataclass(frozen=True)
+class GeomSet:
+    """Static SoA collision geometry. `link` indexes a concatenated link-pose
+    array covering every body in the scene; link -1 = world-static geom."""
+    link: np.ndarray      # i32[G]
+    gtype: np.ndarray     # i32[G]
+    p0: np.ndarray        # f32[G,3] local
+    p1: np.ndarray        # f32[G,3] local
+    radius: np.ndarray    # f32[G]
+    half: np.ndarray      # f32[G,3]
+    quat: np.ndarray      # f32[G,4]
+
+    @staticmethod
+    def build(geoms) -> "GeomSet":
+        """geoms: list of dicts with keys link,gtype,p0,p1,radius,half,quat."""
+        G = len(geoms)
+        gs = GeomSet(
+            link=np.array([g["link"] for g in geoms], np.int32),
+            gtype=np.array([g["gtype"] for g in geoms], np.int32),
+            p0=np.array([g.get("p0", (0, 0, 0)) for g in geoms], np.float32),
+            p1=np.array([g.get("p1", g.get("p0", (0, 0, 0))) for g in geoms], np.float32),
+            radius=np.array([g.get("radius", 0.0) for g in geoms], np.float32),
+            half=np.array([g.get("half", (0, 0, 0)) for g in geoms], np.float32),
+            quat=np.array([g.get("quat", (0, 0, 0, 1)) for g in geoms], np.float32),
+        )
+        assert gs.p0.shape == (G, 3)
+        return gs
+
+
+@dataclasses.dataclass(frozen=True)
+class PairTable:
+    """Static contact pair list (the precomputed broadphase)."""
+    a: np.ndarray          # i32[P] geom index (segment side for mixed pairs)
+    b: np.ndarray          # i32[P] geom index
+    kind: np.ndarray       # i32[P] 0 seg-seg, 1 seg-box, 2 seg-plane
+    stiffness: np.ndarray  # f32[P]
+    damping: np.ndarray    # f32[P]
+    friction: np.ndarray   # f32[P]
+    group: np.ndarray      # i32[P]
+    ngroups: int
+
+    @staticmethod
+    def build(pairs, ngroups: int) -> "PairTable":
+        """pairs: list of dicts a,b,kind,stiffness,damping,friction,group."""
+        return PairTable(
+            a=np.array([p["a"] for p in pairs], np.int32),
+            b=np.array([p["b"] for p in pairs], np.int32),
+            kind=np.array([p["kind"] for p in pairs], np.int32),
+            stiffness=np.array([p.get("stiffness", 3000.0) for p in pairs], np.float32),
+            damping=np.array([p.get("damping", 30.0) for p in pairs], np.float32),
+            friction=np.array([p.get("friction", 0.5) for p in pairs], np.float32),
+            group=np.array([p.get("group", 0) for p in pairs], np.int32),
+            ngroups=ngroups,
+        )
+
+    @property
+    def npairs(self) -> int:
+        return len(self.a)
+
+
+class WorldGeoms(NamedTuple):
+    w0: jnp.ndarray     # f32[G,3] segment start / box centre / plane point
+    w1: jnp.ndarray     # f32[G,3] segment end / plane normal (world)
+    quat: jnp.ndarray   # f32[G,4] box orientation (world)
+
+
+def world_geoms(gs: GeomSet, link_pos: jnp.ndarray, link_quat: jnp.ndarray,
+                p0=None, p1=None) -> WorldGeoms:
+    """Transform all geoms to world given concatenated link poses.
+    p0/p1 optionally override local geometry (per-env gender dims)."""
+    gp0 = jnp.asarray(gs.p0) if p0 is None else p0
+    gp1 = jnp.asarray(gs.p1) if p1 is None else p1
+    idx = jnp.asarray(np.maximum(gs.link, 0))
+    lp = link_pos[idx]
+    lq = link_quat[idx]
+    is_world = jnp.asarray(gs.link < 0)[:, None]
+    lp = jnp.where(is_world, 0.0, lp)
+    lq = jnp.where(is_world, jnp.asarray([0.0, 0.0, 0.0, 1.0], link_quat.dtype), lq)
+    w0 = lp + m3.quat_rotate(lq, gp0)
+    is_plane = jnp.asarray(gs.gtype == GEOM_PLANE)[:, None]
+    p1w = lp + m3.quat_rotate(lq, gp1)
+    n_w = m3.quat_rotate(lq, gp1)       # plane normal rotates only
+    w1 = jnp.where(is_plane, n_w, p1w)
+    quat = m3.quat_mul(lq, jnp.asarray(gs.quat))
+    return WorldGeoms(w0, w1, quat)
+
+
+class ContactResult(NamedTuple):
+    fn: jnp.ndarray          # f32[P] normal force magnitude per pair
+    dist: jnp.ndarray        # f32[P] signed distance per pair
+    point: jnp.ndarray       # f32[P,3] contact point (world)
+    force_a: jnp.ndarray     # f32[P,3] force applied to geom-a body at point
+    link_force: jnp.ndarray  # f32[Ltot,3] accumulated per concatenated link
+    link_torque: jnp.ndarray # f32[Ltot,3] torque about link origin
+    group_fn: jnp.ndarray    # f32[ngroups] sum of normal forces per group
+
+
+def evaluate(
+    gs: GeomSet,
+    pt: PairTable,
+    link_pos: jnp.ndarray,
+    link_quat: jnp.ndarray,
+    link_v: Optional[jnp.ndarray] = None,
+    link_w: Optional[jnp.ndarray] = None,
+    p0=None, p1=None, radius=None,
+) -> ContactResult:
+    """Evaluate all contact pairs; one fused pass, no data-dependent shapes."""
+    nlinks = link_pos.shape[0]
+    wg = world_geoms(gs, link_pos, link_quat, p0=p0, p1=p1)
+    if link_v is None:
+        link_v = jnp.zeros_like(link_pos)
+    if link_w is None:
+        link_w = jnp.zeros_like(link_pos)
+
+    grad = jnp.asarray(gs.radius) if radius is None else radius
+    ia, ib = jnp.asarray(pt.a), jnp.asarray(pt.b)
+    a0, a1 = wg.w0[ia], wg.w1[ia]
+    ra = grad[ia]
+    b0, b1 = wg.w0[ib], wg.w1[ib]
+    rb = grad[ib]
+    bq = wg.quat[ib]
+    bh = jnp.asarray(gs.half)[ib]
+
+    # only compile the narrow-phase kinds that actually occur (static check)
+    kinds_present = set(np.unique(pt.kind).tolist())
+    branches = []
+    if 0 in kinds_present:
+        branches.append((0, col.capsule_capsule(a0, a1, ra, b0, b1, rb)))
+    if 1 in kinds_present:
+        branches.append((1, col.capsule_box(a0, a1, ra, b0, bq, bh)))
+    if 2 in kinds_present:
+        plane_off = jnp.sum(b0 * b1, -1)  # plane point dot normal
+        branches.append((2, col.capsule_plane(a0, a1, ra, b1, plane_off)))
+    if len(branches) == 1:
+        dist, normal, point = branches[0][1]
+    else:
+        kind = jnp.asarray(pt.kind)
+        dist = jnp.select([kind == k for k, _ in branches], [b[0] for _, b in branches])
+        normal = jnp.select([(kind == k)[:, None] for k, _ in branches],
+                            [b[1] for _, b in branches])
+        point = jnp.select([(kind == k)[:, None] for k, _ in branches],
+                           [b[2] for _, b in branches])
+
+    la = jnp.asarray(np.maximum(pt_link(gs, pt.a), 0))
+    lb = jnp.asarray(np.maximum(pt_link(gs, pt.b), 0))
+    a_world = jnp.asarray(pt_link(gs, pt.a) < 0)
+    b_world = jnp.asarray(pt_link(gs, pt.b) < 0)
+
+    def vel_at(l_idx, is_world, pts):
+        v = link_v[l_idx] + jnp.cross(link_w[l_idx], pts - link_pos[l_idx])
+        return jnp.where(is_world[:, None], 0.0, v)
+
+    rel_vel = vel_at(la, a_world, point) - vel_at(lb, b_world, point)
+    force, fn = col.contact_force(
+        dist, normal, rel_vel,
+        jnp.asarray(pt.stiffness), jnp.asarray(pt.damping), jnp.asarray(pt.friction),
+    )
+
+    # accumulate wrenches per link (world-static sides contribute nothing)
+    fa = jnp.where(a_world[:, None], 0.0, force)
+    fb = jnp.where(b_world[:, None], 0.0, -force)
+    lf = jnp.zeros((nlinks, 3), link_pos.dtype)
+    lt = jnp.zeros((nlinks, 3), link_pos.dtype)
+    ta = jnp.cross(point - link_pos[la], fa)
+    tb = jnp.cross(point - link_pos[lb], fb)
+    lf = lf.at[la].add(fa).at[lb].add(fb)
+    lt = lt.at[la].add(ta).at[lb].add(tb)
+
+    group_fn = jnp.zeros(pt.ngroups, link_pos.dtype).at[jnp.asarray(pt.group)].add(fn)
+    return ContactResult(fn, dist, point, force, lf, lt, group_fn)
+
+
+def pt_link(gs: GeomSet, idx: np.ndarray) -> np.ndarray:
+    return gs.link[idx]

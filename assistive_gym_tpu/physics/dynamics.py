@@ -2,12 +2,19 @@
 
 TPU-native replacement for Bullet's C++ multibody solver behind
 p.stepSimulation (reference hot loop: assistive_gym/envs/env.py:133-134).
-Formulated in world-origin spatial coordinates (Featherstone's Plücker
-coordinates about a fixed origin): every link's spatial inertia, motion
-subspace, velocity and force live at the world origin, which removes all
-frame transforms from CRBA/RNEA inner loops — each pass is a short unrolled
-chain of 3-vector/3x3 ops that XLA fuses into one kernel, `vmap`ped over the
-env batch.
+
+Formulated in world-origin spatial coordinates (Plücker coordinates about a
+fixed origin), where chain recursions collapse into dense matmuls against
+STATIC ancestor/subtree masks (see kinematics._masks):
+
+  CRBA:  Ic_comp[d] = subtree_mask @ I_O         (composite inertias)
+         M[k,j]     = S_k . (Ic_comp[j] S_j)     masked by dof-ancestry
+  RNEA:  v          = anc_mask @ (S qd)
+         a          = a_base + anc_mask @ (v_parent x S qd)
+         tau        = S . (subtree_mask @ (I_O a + v x* I_O v))
+
+No sequential chains — ideal for both the MXU and XLA's CPU backend (which
+compiles long dependent op-chains superlinearly).
 
 Spatial vector layout: motion m = [omega; v_O], force f = [n_O; f].
 
@@ -20,15 +27,14 @@ the articulated mass matrix.
 The reference's mass=0 "static link" trick (world_creation.py:140-144) maps
 to the `active` dof mask: frozen dofs hold position exactly.
 
-All matmuls here are tiny (3x3 / 6x6 / ndof^2) and must be exact fp32 even on
-TPU (where the MXU defaults to bf16 inputs), so public entry points run under
-jax.default_matmul_precision('float32'); the cost is negligible at these
-shapes and it keeps rollouts bit-reproducible across platforms.
+All matmuls are small and must be exact fp32 even on TPU (MXU defaults to
+bf16 inputs), so public entry points run under
+jax.default_matmul_precision('float32') — negligible cost at these shapes,
+and it keeps rollouts bit-reproducible across platforms.
 """
 from __future__ import annotations
 
 import functools
-
 from typing import NamedTuple, Optional
 
 import jax
@@ -36,7 +42,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import math3d as m3
-from .kinematics import FK, fk
+from .kinematics import FK, _masks, fk, motion_subspace
 from .model import ArticulatedModel, JOINT_PRISMATIC, JOINT_REVOLUTE
 
 
@@ -58,14 +64,20 @@ def _skew(v):
     ], -2)
 
 
-def _spatial_inertia_origin(model: ArticulatedModel, fk_res: FK) -> jnp.ndarray:
-    """f32[L,6,6] spatial inertia of each link about the world origin."""
+def _spatial_inertia_origin(model: ArticulatedModel, fk_res: FK,
+                            mass=None, com=None, inertia_diag=None) -> jnp.ndarray:
+    """f32[L,6,6] spatial inertia of each link about the world origin.
+    mass/com/inertia_diag optionally override the static model (per-env
+    gender-dependent bodies)."""
+    mass = jnp.asarray(model.mass) if mass is None else mass
+    com = jnp.asarray(model.com) if com is None else com
+    inertia_diag = jnp.asarray(model.inertia_diag) if inertia_diag is None else inertia_diag
     Rl = m3.quat_to_mat(fk_res.quat)                      # [L,3,3]
     Rp = m3.quat_to_mat(jnp.asarray(model.inertia_quat))  # [L,3,3]
     R = Rl @ Rp
-    Ic = R @ (jnp.asarray(model.inertia_diag)[:, :, None] * jnp.swapaxes(R, -1, -2))
-    c = fk_res.pos + m3.quat_rotate(fk_res.quat, jnp.asarray(model.com))  # world com
-    m = jnp.asarray(model.mass)[:, None, None]
+    Ic = R @ (inertia_diag[:, :, None] * jnp.swapaxes(R, -1, -2))
+    c = fk_res.pos + m3.quat_rotate(fk_res.quat, com)     # world com
+    m = mass[:, None, None]
     cx = _skew(c)
     top_left = Ic + m * (cx @ jnp.swapaxes(cx, -1, -2))
     top_right = m * cx
@@ -75,20 +87,6 @@ def _spatial_inertia_origin(model: ArticulatedModel, fk_res: FK) -> jnp.ndarray:
         jnp.concatenate([top_left, top_right], -1),
         jnp.concatenate([bot_left, bot_right], -1),
     ], -2)
-
-
-def _motion_subspace(model: ArticulatedModel, fk_res: FK) -> jnp.ndarray:
-    """f32[ndof,6]: joint motion subspace per dof, world-origin coordinates."""
-    cols = []
-    for li in model.dof_links:
-        li = int(li)
-        a = m3.quat_rotate(fk_res.quat[li], jnp.asarray(model.axis[li]))
-        p = fk_res.pos[li]
-        if model.joint_type[li] == JOINT_REVOLUTE:
-            cols.append(jnp.concatenate([a, jnp.cross(p, a)]))
-        else:
-            cols.append(jnp.concatenate([jnp.zeros_like(a), a]))
-    return jnp.stack(cols)
 
 
 def _cross_motion(m1, m2):
@@ -104,39 +102,25 @@ def _cross_force(m, f):
 
 
 @_f32_matmuls
-def crba(model: ArticulatedModel, fk_res: FK) -> jnp.ndarray:
-    """Composite-rigid-body mass matrix f32[ndof,ndof] (Featherstone CRBA)."""
-    I_O = _spatial_inertia_origin(model, fk_res)
-    S = _motion_subspace(model, fk_res)
-    L = model.nlinks
-    dof_index = model.dof_index
-    # composite subtree inertias (backward accumulation, unrolled)
-    Ic = [I_O[i] for i in range(L)]
-    for i in range(L - 1, -1, -1):
-        p = int(model.parent[i])
-        if p >= 0:
-            Ic[p] = Ic[p] + Ic[i]
-    n = model.ndof
-    M = jnp.zeros((n, n), dtype=fk_res.pos.dtype)
-    for j_link in model.dof_links:
-        j_link = int(j_link)
-        dj = int(dof_index[j_link])
-        F = Ic[j_link] @ S[dj]
-        M = M.at[dj, dj].set(jnp.dot(S[dj], F))
-        k = int(model.parent[j_link])
-        while k >= 0:
-            dk = int(dof_index[k])
-            if dk >= 0:
-                val = jnp.dot(S[dk], F)
-                M = M.at[dj, dk].set(val)
-                M = M.at[dk, dj].set(val)
-            k = int(model.parent[k])
+def crba(model: ArticulatedModel, fk_res: FK, inertial=None) -> jnp.ndarray:
+    """Composite-rigid-body mass matrix f32[ndof,ndof] (Featherstone CRBA).
+    `inertial`: optional dict(mass=, com=, inertia_diag=) per-env override."""
+    inertial = inertial or {}
+    I_O = _spatial_inertia_origin(model, fk_res, **inertial)   # [L,6,6]
+    S = motion_subspace(model, fk_res)                         # [n,6]
+    _, subtree_dof, dof_anc = _masks(model)
+    # composite inertia of each dof's subtree: one [n,L]x[L,36] matmul
+    Ic = (subtree_dof @ I_O.reshape(model.nlinks, 36)).reshape(-1, 6, 6)
+    F = jnp.einsum("jab,jb->ja", Ic, S)                        # [n,6]
+    M_full = S @ F.T                                           # [n,n]: M_full[k,j] = S_k . F_j
+    upper = M_full * dof_anc.T                                 # keep k anc-or-self of j
+    M = upper + upper.T - jnp.diag(jnp.diagonal(upper))
     return M
 
 
 @_f32_matmuls
 def rnea_bias(model: ArticulatedModel, fk_res: FK, qd: jnp.ndarray,
-              gravity: jnp.ndarray) -> jnp.ndarray:
+              gravity: jnp.ndarray, inertial=None) -> jnp.ndarray:
     """Bias torques C(q,qd) + g(q): RNEA with qdd = 0, f32[ndof].
 
     Gravity enters as the standard fictitious base acceleration -g.
@@ -144,37 +128,24 @@ def rnea_bias(model: ArticulatedModel, fk_res: FK, qd: jnp.ndarray,
     e.g. feeding.py:171-173) is supported since each articulated system is
     its own model.
     """
-    I_O = _spatial_inertia_origin(model, fk_res)
-    S = _motion_subspace(model, fk_res)
-    L = model.nlinks
-    dof_index = model.dof_index
-    zero6 = jnp.zeros(6, dtype=fk_res.pos.dtype)
-    a_base = jnp.concatenate([jnp.zeros(3, dtype=gravity.dtype), -gravity])
-    v = [zero6] * L
-    a = [zero6] * L
-    f = [zero6] * L
-    for i in range(L):
-        p = int(model.parent[i])
-        vp = zero6 if p < 0 else v[p]
-        ap = a_base if p < 0 else a[p]
-        d = int(dof_index[i])
-        if d >= 0:
-            vj = S[d] * qd[d]
-            v[i] = vp + vj
-            a[i] = ap + _cross_motion(vp, vj)
-        else:
-            v[i] = vp
-            a[i] = ap
-        f[i] = I_O[i] @ a[i] + _cross_force(v[i], I_O[i] @ v[i])
-    tau = [None] * model.ndof
-    for i in range(L - 1, -1, -1):
-        d = int(dof_index[i])
-        if d >= 0:
-            tau[d] = jnp.dot(S[d], f[i])
-        p = int(model.parent[i])
-        if p >= 0:
-            f[p] = f[p] + f[i]
-    return jnp.stack(tau)
+    inertial = inertial or {}
+    I_O = _spatial_inertia_origin(model, fk_res, **inertial)   # [L,6,6]
+    S = motion_subspace(model, fk_res)                         # [n,6]
+    anc_dof, subtree_dof, _ = _masks(model)
+    dl = np.asarray(model.dof_links)
+    f32d = fk_res.pos.dtype
+
+    Sqd = S * qd[:, None]                                      # [n,6]
+    v = anc_dof @ Sqd                                          # [L,6] link spatial vel
+    v_parent_of_dof = v[dl] - Sqd                              # parent link vel per dof
+    coriolis = _cross_motion(v_parent_of_dof, Sqd)             # [n,6]
+    a_base = jnp.concatenate([jnp.zeros(3, f32d), -gravity])
+    a = anc_dof @ coriolis + a_base[None, :]                   # [L,6]
+
+    Iv = jnp.einsum("lab,lb->la", I_O, v)
+    f = jnp.einsum("lab,lb->la", I_O, a) + _cross_force(v, Iv)  # [L,6]
+    acc = subtree_dof @ f                                       # [n,6]
+    return jnp.sum(S * acc, -1)
 
 
 class StepResult(NamedTuple):
@@ -201,6 +172,7 @@ def substep(
     fk_res: Optional[FK] = None,
     base_pos: Optional[jnp.ndarray] = None,
     base_quat: Optional[jnp.ndarray] = None,
+    inertial=None,
 ) -> StepResult:
     """One semi-implicit Euler physics substep of a fixed-base tree.
 
@@ -219,8 +191,8 @@ def substep(
     tau = jnp.zeros(n, f32) if tau_ext is None else tau_ext
     act = jnp.ones(n, bool) if active is None else active
 
-    M = crba(model, fk_res)
-    bias = rnea_bias(model, fk_res, qd * act, gravity)
+    M = crba(model, fk_res, inertial)
+    bias = rnea_bias(model, fk_res, qd * act, gravity, inertial)
     damping = jnp.asarray(model.damping[model.dof_links], f32)
 
     # Freeze masked dofs by identity rows/cols (exact hold, like mass=0 links).

@@ -2,15 +2,22 @@
 
 TPU-native replacement for PyBullet's getLinkState / calculateJacobian
 (reference call sites: assistive_gym/envs/scratch_itch.py:65-88,
-env.py:331-335, util.py:29,50).  One FK pass yields all link frames; the
-loop over links is unrolled at trace time (topology is static), so XLA fuses
-the whole chain into one fused kernel per batch.  `vmap` supplies the env
-batch axis.
+env.py:331-335, util.py:29,50).
 
-Frames: link frame = child frame of the link's joint (URDF convention).  The
-human model is built with inertial frames at the link origin
-(human_creation.py:179-180), so link frame origin == PyBullet's
-linkWorldPosition for the human; compiled robot specs carry explicit coms.
+Design for the XLA compilation model: tree recursions are NOT unrolled into
+deep dependent op-chains (XLA's CPU backend compiles those superlinearly and
+TPU fusion gains nothing from them).  Instead:
+
+  * FK — inherently a product of transforms along each chain — runs as one
+    lax.scan over links in topological order with dynamic parent gathers:
+    O(1) compile cost in link count, and under vmap each scan step is a
+    wide batched op.
+  * Everything else exploits the world-origin spatial formulation: motion
+    subspaces simply ADD along kinematic chains, so link velocities,
+    Jacobians and wrench->torque maps are dense matmuls against STATIC
+    ancestor/subtree 0/1 masks — exactly the shape the MXU wants.
+
+Frames: link frame = child frame of the link's joint (URDF convention).
 """
 from __future__ import annotations
 
@@ -18,6 +25,7 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops import math3d as m3
 from .model import ArticulatedModel, JOINT_PRISMATIC, JOINT_REVOLUTE
@@ -28,70 +36,112 @@ class FK(NamedTuple):
     quat: jnp.ndarray   # f32[L,4] link frame orientation, world (xyzw)
 
 
+def _masks(model: ArticulatedModel):
+    """Static incidence masks (host, cached on the model via id)."""
+    key = "_mask_cache"
+    cache = getattr(model, key, None)
+    if cache is not None:
+        return cache
+    L = model.nlinks
+    dl = model.dof_links
+    n = model.ndof
+    anc = np.zeros((L, L), np.float32)       # anc[i,k]=1 if k is ancestor-or-self of i
+    for i in range(L):
+        k = i
+        while k >= 0:
+            anc[i, k] = 1.0
+            k = int(model.parent[k])
+    anc_dof = anc[:, dl]                     # [L, ndof]
+    subtree_dof = anc[:, dl].T               # [ndof, L]: link i in subtree of dof d
+    dof_anc_dof = anc[dl][:, dl]             # [ndof, ndof]: [j,k]=1 if k anc-or-self j
+    # cache NUMPY arrays only — caching jnp constants across jit traces leaks
+    cache = (anc_dof, subtree_dof, dof_anc_dof)
+    object.__setattr__(model, key, cache)
+    return tuple(jnp.asarray(a) for a in cache)
+
+
 def fk(model: ArticulatedModel, q: jnp.ndarray,
-       base_pos: jnp.ndarray, base_quat: jnp.ndarray) -> FK:
-    """World pose of every link. q: f32[ndof]."""
-    dof_index = model.dof_index
-    pos_list, quat_list = [], []
-    for i in range(model.nlinks):
-        p = model.parent[i]
-        pp, pq = (base_pos, base_quat) if p < 0 else (pos_list[p], quat_list[p])
-        jp = pp + m3.quat_rotate(pq, jnp.asarray(model.origin_xyz[i]))
-        jq = m3.quat_mul(pq, jnp.asarray(model.origin_quat[i]))
-        d = int(dof_index[i])
-        if d >= 0:
-            axis = jnp.asarray(model.axis[i])
-            if model.joint_type[i] == JOINT_REVOLUTE:
-                jq = m3.quat_mul(jq, m3.quat_from_axis_angle(axis, q[d]))
-            elif model.joint_type[i] == JOINT_PRISMATIC:
-                jp = jp + m3.quat_rotate(jq, axis * q[d])
-        pos_list.append(jp)
-        quat_list.append(jq)
-    return FK(jnp.stack(pos_list), jnp.stack(quat_list))
+       base_pos: jnp.ndarray, base_quat: jnp.ndarray,
+       origin_xyz: Optional[jnp.ndarray] = None) -> FK:
+    """World pose of every link via one scan over links. q: f32[ndof].
+
+    `origin_xyz` optionally overrides the model's static joint offsets with a
+    traced per-env array (gender-dependent human dimensions are sampled per
+    reset in the reference, world_creation.py:56-57, so they must be dynamic
+    under vmap)."""
+    f32 = q.dtype
+    L = model.nlinks
+    ox = jnp.asarray(model.origin_xyz, f32) if origin_xyz is None else origin_xyz
+    oq = jnp.asarray(model.origin_quat, f32)
+    axis = jnp.asarray(model.axis, f32)
+    parent = jnp.asarray(model.parent + 1, jnp.int32)       # shift: 0 = base
+    is_rev = jnp.asarray(model.joint_type == JOINT_REVOLUTE)
+    is_pri = jnp.asarray(model.joint_type == JOINT_PRISMATIC)
+    dof_index = jnp.asarray(np.maximum(model.dof_index, 0), jnp.int32)
+    has_dof = jnp.asarray(model.dof_index >= 0)
+
+    pos_buf = jnp.zeros((L + 1, 3), f32).at[0].set(base_pos)
+    quat_buf = jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 1.0], f32), (L + 1, 1))
+    quat_buf = quat_buf.at[0].set(base_quat)
+
+    def body(carry, i):
+        pos_buf, quat_buf = carry
+        p = parent[i]
+        pp = pos_buf[p]
+        pq = quat_buf[p]
+        jp = pp + m3.quat_rotate(pq, ox[i])
+        jq = m3.quat_mul(pq, oq[i])
+        qi = jnp.where(has_dof[i], q[dof_index[i]], 0.0)
+        rot = m3.quat_from_axis_angle(axis[i], jnp.where(is_rev[i], qi, 0.0))
+        jq = m3.quat_mul(jq, rot)
+        jp = jp + jnp.where(is_pri[i], qi, 0.0) * m3.quat_rotate(jq, axis[i])
+        return (pos_buf.at[i + 1].set(jp), quat_buf.at[i + 1].set(jq)), None
+
+    (pos_buf, quat_buf), _ = jax.lax.scan(
+        body, (pos_buf, quat_buf), jnp.arange(L, dtype=jnp.int32))
+    return FK(pos_buf[1:], quat_buf[1:])
+
+
+def motion_subspace(model: ArticulatedModel, fk_res: FK) -> jnp.ndarray:
+    """f32[ndof,6]: world-origin motion subspace per dof: [omega; v_O].
+
+    revolute axis a through point p: S = [a; p x a]; prismatic: S = [0; a].
+    Fully parallel over dofs (no chain dependence).
+    """
+    dl = np.asarray(model.dof_links)
+    a = m3.quat_rotate(fk_res.quat[dl], jnp.asarray(model.axis[dl]))
+    p = fk_res.pos[dl]
+    rev = jnp.asarray((model.joint_type[dl] == JOINT_REVOLUTE))[:, None]
+    w = jnp.where(rev, a, 0.0)
+    v = jnp.where(rev, jnp.cross(p, a), a)
+    return jnp.concatenate([w, v], -1)
 
 
 class LinkVel(NamedTuple):
     v: jnp.ndarray      # f32[L,3] linear velocity of link frame origin, world
     w: jnp.ndarray      # f32[L,3] angular velocity, world
+    spatial: jnp.ndarray  # f32[L,6] world-origin spatial velocity [omega; v_O]
 
 
 def link_velocities(model: ArticulatedModel, fk_res: FK, qd: jnp.ndarray,
                     base_v: Optional[jnp.ndarray] = None,
-                    base_w: Optional[jnp.ndarray] = None) -> LinkVel:
-    """Propagate joint rates down the tree. qd: f32[ndof]."""
-    zeros = jnp.zeros(3, dtype=fk_res.pos.dtype)
-    bv = zeros if base_v is None else base_v
-    bw = zeros if base_w is None else base_w
-    dof_index = model.dof_index
-    v_list, w_list = [], []
-    for i in range(model.nlinks):
-        p = model.parent[i]
-        if p < 0:
-            pv, pw, pp = bv, bw, jnp.zeros(3, dtype=fk_res.pos.dtype)
-        else:
-            pv, pw, pp = v_list[p], w_list[p], fk_res.pos[p]
-        r = fk_res.pos[i] - pp
-        v = pv + jnp.cross(pw, r)
-        w = pw
-        d = int(dof_index[i])
-        if d >= 0:
-            axis_w = m3.quat_rotate(fk_res.quat[i], jnp.asarray(model.axis[i]))
-            if model.joint_type[i] == JOINT_REVOLUTE:
-                w = w + axis_w * qd[d]
-            else:  # prismatic
-                v = v + axis_w * qd[d]
-        v_list.append(v)
-        w_list.append(w)
-    return LinkVel(jnp.stack(v_list), jnp.stack(w_list))
-
-
-def world_axes(model: ArticulatedModel, fk_res: FK) -> jnp.ndarray:
-    """f32[ndof,3]: world-frame joint axis per dof."""
-    dl = model.dof_links
-    axes = []
-    for i in dl:
-        axes.append(m3.quat_rotate(fk_res.quat[i], jnp.asarray(model.axis[i])))
-    return jnp.stack(axes)
+                    base_w: Optional[jnp.ndarray] = None,
+                    base_pos: Optional[jnp.ndarray] = None) -> LinkVel:
+    """v_spatial[i] = sum_{dofs k on the chain to i} S_k qd_k: one matmul."""
+    anc_dof, _, _ = _masks(model)
+    S = motion_subspace(model, fk_res)                 # [n,6]
+    v_sp = anc_dof @ (S * qd[:, None])                 # [L,6]
+    if base_v is not None or base_w is not None:
+        f32 = fk_res.pos.dtype
+        bv = jnp.zeros(3, f32) if base_v is None else base_v
+        bw = jnp.zeros(3, f32) if base_w is None else base_w
+        bp = jnp.zeros(3, f32) if base_pos is None else base_pos
+        # spatial velocity of the base body expressed at the world origin
+        base_sp = jnp.concatenate([bw, bv - jnp.cross(bw, bp)])
+        v_sp = v_sp + base_sp[None, :]
+    w = v_sp[:, :3]
+    v = v_sp[:, 3:] + jnp.cross(w, fk_res.pos)
+    return LinkVel(v, w, v_sp)
 
 
 def point_jacobian(model: ArticulatedModel, fk_res: FK,
@@ -99,58 +149,26 @@ def point_jacobian(model: ArticulatedModel, fk_res: FK,
     """Geometric Jacobian f32[6,ndof] of a world point rigidly attached to
     `link`: rows 0-2 linear, 3-5 angular (PyBullet calculateJacobian parity,
     reference env.py:332-335)."""
-    # ancestors of `link` (static python set — topology is static)
-    anc = set()
-    i = link
-    while i >= 0:
-        anc.add(i)
-        i = int(model.parent[i])
-    dl = model.dof_links
-    cols = []
-    for d, li in enumerate(dl):
-        li = int(li)
-        if li not in anc:
-            cols.append(jnp.zeros(6, dtype=fk_res.pos.dtype))
-            continue
-        axis_w = m3.quat_rotate(fk_res.quat[li], jnp.asarray(model.axis[li]))
-        if model.joint_type[li] == JOINT_REVOLUTE:
-            lin = jnp.cross(axis_w, point_world - fk_res.pos[li])
-            ang = axis_w
-        else:
-            lin = axis_w
-            ang = jnp.zeros(3, dtype=axis_w.dtype)
-        cols.append(jnp.concatenate([lin, ang]))
-    return jnp.stack(cols, axis=1)
+    anc_dof, _, _ = _masks(model)
+    S = motion_subspace(model, fk_res)                 # [n,6]
+    mask = anc_dof[link]                               # [n]
+    Sm = S * mask[:, None]
+    ang = Sm[:, :3]                                    # [n,3]
+    lin = Sm[:, 3:] + jnp.cross(ang, point_world[None, :])
+    return jnp.concatenate([lin.T, ang.T], 0)
 
 
 def link_wrenches_to_joint_torques(
     model: ArticulatedModel, fk_res: FK,
     force: jnp.ndarray, torque: jnp.ndarray,
 ) -> jnp.ndarray:
-    """Map per-link world wrenches (force f32[L,3] applied at link origin,
-    torque f32[L,3]) to generalised joint torques f32[ndof].
-
-    Backward accumulation over the tree: each link's accumulated wrench is
-    projected onto its joint axis then shifted to the parent.  This replaces
-    Bullet's internal external-force plumbing and is how contact forces reach
-    the arm dynamics.
-    """
-    L = model.nlinks
-    dof_index = model.dof_index
-    acc_f = [force[i] for i in range(L)]
-    acc_t = [torque[i] for i in range(L)]
-    tau = [jnp.zeros(()) for _ in range(model.ndof)]
-    for i in range(L - 1, -1, -1):
-        d = int(dof_index[i])
-        if d >= 0:
-            axis_w = m3.quat_rotate(fk_res.quat[i], jnp.asarray(model.axis[i]))
-            if model.joint_type[i] == JOINT_REVOLUTE:
-                tau[d] = jnp.dot(axis_w, acc_t[i])
-            else:
-                tau[d] = jnp.dot(axis_w, acc_f[i])
-        p = int(model.parent[i])
-        if p >= 0:
-            r = fk_res.pos[i] - fk_res.pos[p]
-            acc_f[p] = acc_f[p] + acc_f[i]
-            acc_t[p] = acc_t[p] + acc_t[i] + jnp.cross(r, acc_f[i])
-    return jnp.stack(tau)
+    """Map per-link world wrenches (force f32[L,3] applied at the link origin,
+    torque f32[L,3]) to generalised joint torques f32[ndof]:
+    tau = S . (subtree-sum of origin-shifted spatial forces) — two matmuls.
+    This is how contact forces reach the arm dynamics."""
+    _, subtree_dof, _ = _masks(model)
+    n_O = torque + jnp.cross(fk_res.pos, force)        # shift torque to origin
+    f_sp = jnp.concatenate([n_O, force], -1)           # [L,6]
+    S = motion_subspace(model, fk_res)                 # [n,6]
+    acc = subtree_dof @ f_sp                           # [n,6]
+    return jnp.sum(S * acc, -1)

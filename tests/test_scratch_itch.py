@@ -1,0 +1,89 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from assistive_gym_tpu.envs import build_task
+
+
+@pytest.fixture(scope="module")
+def task():
+    return build_task("scratch_itch", "jaco", False)
+
+
+@pytest.fixture(scope="module")
+def reset_step(task):
+    return jax.jit(task.reset), jax.jit(task.step)
+
+
+def test_obs_shapes_and_reset(task, reset_step):
+    reset, step = reset_step
+    state, obs = reset(jax.random.PRNGKey(0))
+    assert obs.shape == (30,)   # scratch_itch.py:10 obs_robot_len=30
+    state, obs, rew, done, info = step(state, jnp.zeros(7))
+    assert obs.shape == (30,)
+    assert rew.shape == ()
+    assert not bool(done)
+    assert float(info["total_force_on_human"]) >= 0.0
+
+
+def test_determinism_same_key(task, reset_step):
+    reset, step = reset_step
+    outs = []
+    for _ in range(2):
+        state, obs = reset(jax.random.PRNGKey(7))
+        a = jnp.full(7, 0.3)
+        for _ in range(3):
+            state, obs, rew, done, info = step(state, a)
+        outs.append((np.asarray(obs), float(rew)))
+    np.testing.assert_array_equal(outs[0][0], outs[1][0])
+    assert outs[0][1] == outs[1][1]
+
+
+def test_different_keys_differ(task, reset_step):
+    reset, _ = reset_step
+    _, o1 = reset(jax.random.PRNGKey(1))
+    _, o2 = reset(jax.random.PRNGKey(2))
+    assert not np.allclose(np.asarray(o1), np.asarray(o2))
+
+
+def test_vmap_matches_single(task, reset_step):
+    reset, step = reset_step
+    keys = jax.random.split(jax.random.PRNGKey(3), 4)
+    vstate, vobs = jax.jit(jax.vmap(task.reset))(keys)
+    actions = jnp.tile(jnp.linspace(-0.5, 0.5, 7)[None], (4, 1))
+    vstate2, vobs2, vrew, vdone, vinfo = jax.jit(jax.vmap(task.step))(vstate, actions)
+    # env 2 standalone must match batched env 2 bitwise
+    s1, o1 = reset(keys[2])
+    np.testing.assert_array_equal(np.asarray(vobs[2]), np.asarray(o1))
+    s2, o2, r2, d2, i2 = step(s1, actions[2])
+    np.testing.assert_array_equal(np.asarray(vobs2[2]), np.asarray(o2))
+    np.testing.assert_array_equal(float(vrew[2]), float(r2))
+
+
+def test_episode_dynamics_bounded(task, reset_step):
+    reset, step = reset_step
+    state, obs = reset(jax.random.PRNGKey(11))
+    key = jax.random.PRNGKey(12)
+    for i in range(20):
+        key, k = jax.random.split(key)
+        a = jax.random.uniform(k, (7,), minval=-1, maxval=1)
+        state, obs, rew, done, info = step(state, a)
+    assert np.all(np.isfinite(np.asarray(obs)))
+    assert np.isfinite(float(rew))
+    # human stays within joint limits (hard-limit projection works)
+    hq = np.asarray(state.human_q)
+    lo = np.asarray(state.human["lower"]) - 1e-5
+    hi = np.asarray(state.human["upper"]) + 1e-5
+    assert np.all(hq >= lo) and np.all(hq <= hi)
+
+
+def test_gym_adapter():
+    import assistive_gym_tpu
+
+    env = assistive_gym_tpu.make("ScratchItchJaco-v0", seed=5)
+    obs = env.reset()
+    assert obs.shape == (30,)
+    obs, rew, done, info = env.step(env.action_space.sample(np.random.default_rng(0)))
+    assert obs.shape == (30,)
+    assert isinstance(rew, float) and not done
