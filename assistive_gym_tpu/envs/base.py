@@ -336,13 +336,14 @@ def take_step(spec: SceneSpec, state: EnvState, action: jax.Array,
             motor_target=robot_target, motor_kp=r_kp, motor_force=r_force,
             limit_lower=jnp.asarray(spec.robot.dof_limits()[0]),
             limit_upper=jnp.asarray(spec.robot.dof_limits()[1]),
-            fk_res=fk_r)
+            fk_res=fk_r, sim_dofs=spec.arm_dofs)
         res_h = dyn.substep(
             spec.human, hq, hqd, dt, jnp.asarray(spec.gravity_human, f32),
             tau_ext=tau_h, active=h_active,
             motor_target=human_target, motor_kp=h_kp, motor_force=h_force,
             limit_lower=state.human["lower"], limit_upper=state.human["upper"],
-            fk_res=fk_h, inertial=_human_inertial(state))
+            fk_res=fk_h, inertial=_human_inertial(state),
+            sim_dofs=spec.human_controllable)
         hq2, hqd2 = res_h.q, res_h.qd
         # learned pose-dependent limits (env.py:135-136): enforced when the
         # human arm is actively controlled

@@ -102,13 +102,18 @@ def _cross_force(m, f):
 
 
 @_f32_matmuls
-def crba(model: ArticulatedModel, fk_res: FK, inertial=None) -> jnp.ndarray:
-    """Composite-rigid-body mass matrix f32[ndof,ndof] (Featherstone CRBA).
-    `inertial`: optional dict(mass=, com=, inertia_diag=) per-env override."""
+def crba(model: ArticulatedModel, fk_res: FK, inertial=None, dofs=None) -> jnp.ndarray:
+    """Composite-rigid-body mass matrix f32[n,n] (Featherstone CRBA).
+    `inertial`: optional dict(mass=, com=, inertia_diag=) per-env override.
+    `dofs`: static dof subset -> reduced mass matrix over those dofs only."""
     inertial = inertial or {}
     I_O = _spatial_inertia_origin(model, fk_res, **inertial)   # [L,6,6]
-    S = motion_subspace(model, fk_res)                         # [n,6]
+    S = motion_subspace(model, fk_res, dofs)                   # [n,6]
     _, subtree_dof, dof_anc = _masks(model)
+    if dofs is not None:
+        d = np.asarray(dofs)
+        subtree_dof = subtree_dof[d]
+        dof_anc = dof_anc[np.ix_(d, d)]
     # composite inertia of each dof's subtree: one [n,L]x[L,36] matmul
     Ic = (subtree_dof @ I_O.reshape(model.nlinks, 36)).reshape(-1, 6, 6)
     F = jnp.einsum("jab,jb->ja", Ic, S)                        # [n,6]
@@ -120,8 +125,9 @@ def crba(model: ArticulatedModel, fk_res: FK, inertial=None) -> jnp.ndarray:
 
 @_f32_matmuls
 def rnea_bias(model: ArticulatedModel, fk_res: FK, qd: jnp.ndarray,
-              gravity: jnp.ndarray, inertial=None) -> jnp.ndarray:
-    """Bias torques C(q,qd) + g(q): RNEA with qdd = 0, f32[ndof].
+              gravity: jnp.ndarray, inertial=None, dofs=None) -> jnp.ndarray:
+    """Bias torques C(q,qd) + g(q): RNEA with qdd = 0, f32[n].
+    `qd` is indexed by the (possibly reduced) dof list `dofs`.
 
     Gravity enters as the standard fictitious base acceleration -g.
     Per-body gravity (the reference's p.setGravity(..., body=...) trick,
@@ -130,9 +136,14 @@ def rnea_bias(model: ArticulatedModel, fk_res: FK, qd: jnp.ndarray,
     """
     inertial = inertial or {}
     I_O = _spatial_inertia_origin(model, fk_res, **inertial)   # [L,6,6]
-    S = motion_subspace(model, fk_res)                         # [n,6]
+    S = motion_subspace(model, fk_res, dofs)                   # [n,6]
     anc_dof, subtree_dof, _ = _masks(model)
     dl = np.asarray(model.dof_links)
+    if dofs is not None:
+        d = np.asarray(dofs)
+        dl = dl[d]
+        anc_dof = anc_dof[:, d]
+        subtree_dof = subtree_dof[d]
     f32d = fk_res.pos.dtype
 
     Sqd = S * qd[:, None]                                      # [n,6]
@@ -173,6 +184,7 @@ def substep(
     base_pos: Optional[jnp.ndarray] = None,
     base_quat: Optional[jnp.ndarray] = None,
     inertial=None,
+    sim_dofs=None,
 ) -> StepResult:
     """One semi-implicit Euler physics substep of a fixed-base tree.
 
@@ -181,19 +193,33 @@ def substep(
     force caps), integrate, hard joint-limit projection
     (reference: env.py:133-137,179-201).
     """
-    n = model.ndof
     f32 = q.dtype
     if fk_res is None:
         bp = jnp.zeros(3, f32) if base_pos is None else base_pos
         bq = jnp.array([0, 0, 0, 1], f32) if base_quat is None else base_quat
         fk_res = fk(model, q, bp, bq)
     gravity = jnp.asarray(gravity, f32)
-    tau = jnp.zeros(n, f32) if tau_ext is None else tau_ext
-    act = jnp.ones(n, bool) if active is None else active
 
-    M = crba(model, fk_res, inertial)
-    bias = rnea_bias(model, fk_res, qd * act, gravity, inertial)
-    damping = jnp.asarray(model.damping[model.dof_links], f32)
+    # static reduction: only the task's movable dof subset is simulated
+    # (the reference's mass=0 freeze, world_creation.py:140-144)
+    if sim_dofs is not None:
+        sd = np.asarray(sim_dofs, np.int32)
+        if len(sd) == 0:
+            return StepResult(q, jnp.zeros_like(qd))
+    else:
+        sd = np.arange(model.ndof, dtype=np.int32)
+    n = len(sd)
+
+    def sub(x):
+        return None if x is None else x[sd]
+
+    tau = jnp.zeros(n, f32) if tau_ext is None else sub(tau_ext)
+    act = jnp.ones(n, bool) if active is None else sub(active)
+    qs, qds = q[sd], qd[sd]
+
+    M = crba(model, fk_res, inertial, dofs=sd)
+    bias = rnea_bias(model, fk_res, qds * act, gravity, inertial, dofs=sd)
+    damping = jnp.asarray(model.damping[model.dof_links[sd]], f32)
 
     # Freeze masked dofs by identity rows/cols (exact hold, like mass=0 links).
     actf = act.astype(f32)
@@ -201,31 +227,35 @@ def substep(
     M_act = M * mask + jnp.diag(1.0 - actf)
     # implicit joint damping for stability
     M_imp = M_act + jnp.diag(damping * actf) * dt
-    rhs = (tau - bias - damping * qd) * actf
+    rhs = (tau - bias - damping * qds) * actf
     Mchol = jax.scipy.linalg.cho_factor(M_imp + 1e-8 * jnp.eye(n, dtype=f32))
     qdd = jax.scipy.linalg.cho_solve(Mchol, rhs)
-    qd1 = qd + dt * qdd * actf
+    qd1 = qds + dt * qdd * actf
 
     # --- position-servo motor impulses (Bullet POSITION_CONTROL parity) ---
     if motor_target is not None:
-        Minv_diag = jnp.diagonal(jax.scipy.linalg.cho_solve(Mchol, jnp.eye(n, dtype=f32)))
-        m_app = 1.0 / jnp.maximum(Minv_diag, 1e-8)
-        kp = jnp.zeros(n, f32) if motor_kp is None else motor_kp
-        kd = jnp.ones(n, f32) if motor_kd is None else motor_kd
-        cap = jnp.full(n, jnp.inf, f32) if motor_force is None else motor_force
-        on = jnp.ones(n, bool) if motor_on is None else motor_on
-        v_err = kp * (motor_target - q) / dt - kd * qd1
+        # apparent inertia ~ diag(M): only affects where the force cap binds
+        # (unclamped impulses reach v_err exactly regardless of m_app)
+        m_app = jnp.maximum(jnp.diagonal(M_imp), 1e-8)
+        kp = jnp.zeros(n, f32) if motor_kp is None else sub(motor_kp)
+        kd = jnp.ones(n, f32) if motor_kd is None else sub(motor_kd)
+        cap = jnp.full(n, jnp.inf, f32) if motor_force is None else sub(motor_force)
+        on = jnp.ones(n, bool) if motor_on is None else sub(motor_on)
+        v_err = kp * (sub(motor_target) - qs) / dt - kd * qd1
         lam = jnp.clip(m_app * v_err, -cap * dt, cap * dt)
         qd1 = qd1 + jnp.where(on & act, lam / m_app, 0.0)
 
-    q1 = q + dt * qd1 * actf
+    q1 = qs + dt * qd1 * actf
 
     # --- hard joint-limit projection (env.py:179-201 semantics) ---
     if limit_lower is not None:
-        limited = limit_upper >= limit_lower   # pybullet (0,-1) = unlimited
-        q_cl = jnp.clip(q1, limit_lower, limit_upper)
+        ll, lu = sub(limit_lower), sub(limit_upper)
+        limited = lu >= ll                     # pybullet (0,-1) = unlimited
+        q_cl = jnp.clip(q1, ll, lu)
         hit = limited & (q_cl != q1)
         q1 = jnp.where(limited, q_cl, q1)
         qd1 = jnp.where(hit, 0.0, qd1)
 
-    return StepResult(q1, qd1 * actf)
+    q_full = q.at[sd].set(q1)
+    qd_full = jnp.zeros_like(qd).at[sd].set(qd1 * actf)
+    return StepResult(q_full, qd_full)

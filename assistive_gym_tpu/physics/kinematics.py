@@ -97,18 +97,25 @@ def fk(model: ArticulatedModel, q: jnp.ndarray,
         jp = jp + jnp.where(is_pri[i], qi, 0.0) * m3.quat_rotate(jq, axis[i])
         return (pos_buf.at[i + 1].set(jp), quat_buf.at[i + 1].set(jq)), None
 
+    # unroll=8: fuses 8 links per kernel launch — long enough to amortise
+    # dispatch, short enough to avoid XLA's superlinear deep-chain compile
     (pos_buf, quat_buf), _ = jax.lax.scan(
-        body, (pos_buf, quat_buf), jnp.arange(L, dtype=jnp.int32))
+        body, (pos_buf, quat_buf), jnp.arange(L, dtype=jnp.int32), unroll=8)
     return FK(pos_buf[1:], quat_buf[1:])
 
 
-def motion_subspace(model: ArticulatedModel, fk_res: FK) -> jnp.ndarray:
+def motion_subspace(model: ArticulatedModel, fk_res: FK, dofs=None) -> jnp.ndarray:
     """f32[ndof,6]: world-origin motion subspace per dof: [omega; v_O].
 
     revolute axis a through point p: S = [a; p x a]; prismatic: S = [0; a].
-    Fully parallel over dofs (no chain dependence).
+    Fully parallel over dofs (no chain dependence).  `dofs`: optional static
+    dof-index subset — tasks simulate only the dofs that can move (the
+    reference freezes everything else via the mass=0 trick), shrinking every
+    downstream matrix.
     """
     dl = np.asarray(model.dof_links)
+    if dofs is not None:
+        dl = dl[np.asarray(dofs)]
     a = m3.quat_rotate(fk_res.quat[dl], jnp.asarray(model.axis[dl]))
     p = fk_res.pos[dl]
     rev = jnp.asarray((model.joint_type[dl] == JOINT_REVOLUTE))[:, None]
