@@ -311,7 +311,7 @@ def take_step(spec: SceneSpec, state: EnvState, action: jax.Array,
 
     # --- frame_skip physics substeps (env.py:133-137) ---
     def substep(carry, _):
-        rq, rqd, hq, hqd, pvr, pvl = carry
+        rq, rqd, hq, hqd, pvr, pvl, aux = carry
         fk_r = kin.fk(spec.robot, rq, state.robot_base_pos, state.robot_base_quat)
         fk_h = kin.fk(spec.human, hq, state.human_base_pos, state.human_base_quat,
                       origin_xyz=state.human["origin_xyz"])
@@ -354,17 +354,19 @@ def take_step(spec: SceneSpec, state: EnvState, action: jax.Array,
             if 13 in spec.human_controllable:
                 hq2, hqd2, pvl = arm_limits.enforce_realistic_limits(
                     hq2, hqd2, pvl, (13, 14, 15, 16), right=False)
-        return (res_r.q, res_r.qd, hq2, hqd2, pvr, pvl), None
+        if spec.substep_hook is not None:
+            aux = spec.substep_hook(spec, state, aux, fk_h, fk_r, dt)
+        return (res_r.q, res_r.qd, hq2, hqd2, pvr, pvl, aux), None
 
     carry0 = (state.robot_q, state.robot_qd, state.human_q, state.human_qd,
-              state.prev_valid_right, state.prev_valid_left)
-    (rq, rqd, hq, hqd, pvr, pvl), _ = jax.lax.scan(
+              state.prev_valid_right, state.prev_valid_left, state.aux)
+    (rq, rqd, hq, hqd, pvr, pvl, aux), _ = jax.lax.scan(
         substep, carry0, None, length=spec.frame_skip)
 
     state = state.replace(
         t=t_new, robot_q=rq, robot_qd=rqd, human_q=hq, human_qd=hqd,
         prev_valid_right=pvr, prev_valid_left=pvl,
-        target_human_joint_positions=thjp)
+        target_human_joint_positions=thjp, aux=aux)
 
     # final-configuration readbacks for rewards/obs
     fk_h, fk_r = scene_fk(spec, state)
@@ -448,3 +450,25 @@ def compose_robot_with_tool(task: str, robot_name: str, left: bool = True):
             jnp.asarray((math.pi / 2, 0.0, 0.0), jnp.float32))).tolist())
     model = pm.attach_fixed(model, tool_base, "tool_tip", tip_off, tip_quat)
     return model, tool_base, model.nlinks - 1, info
+
+
+def transform_point_on_link(fk_res, link, local_pos):
+    """p.multiplyTransforms(link_pos, link_orient, local, identity) parity."""
+    return fk_res.pos[link] + m3.quat_rotate(fk_res.quat[link], local_pos)
+
+
+def init_robot_q(spec: SceneSpec) -> jax.Array:
+    """reset_robot_joints (env.py:241-255) + gripper open position, as the
+    starting dof vector; gripper and non-arm dofs stay frozen there."""
+    info = spec.info
+    rq = jnp.zeros(spec.robot.ndof, f32)
+    for idx_list, defaults in ((info.arm_left, info.default_left),
+                               (info.arm_right, info.default_right)):
+        for l, v in zip(idx_list, defaults or ()):
+            rq = rq.at[int(spec.robot.dof_index[l])].set(v)
+    gopen = robots_mod.GRIPPER_OPEN.get((spec.task, spec.robot_name))
+    if gopen is not None:
+        for side in (info.gripper_left, info.gripper_right):
+            for gl, sgn in zip(side, info.gripper_sign):
+                rq = rq.at[int(spec.robot.dof_index[gl])].set(gopen * sgn)
+    return rq
