@@ -336,7 +336,10 @@ def take_step(spec: SceneSpec, state: EnvState, action: jax.Array,
             motor_target=robot_target, motor_kp=r_kp, motor_force=r_force,
             limit_lower=jnp.asarray(spec.robot.dof_limits()[0]),
             limit_upper=jnp.asarray(spec.robot.dof_limits()[1]),
-            fk_res=fk_r, sim_dofs=spec.arm_dofs)
+            # dedupe: 'both'-arm tasks duplicate dofs for single-arm robots
+            # (env.py:97 robot_both_arm_joint_indices); duplicates would make
+            # the reduced mass matrix singular
+            fk_res=fk_r, sim_dofs=tuple(sorted(set(spec.arm_dofs))))
         res_h = dyn.substep(
             spec.human, hq, hqd, dt, jnp.asarray(spec.gravity_human, f32),
             tau_ext=tau_h, active=h_active,
@@ -472,3 +475,58 @@ def init_robot_q(spec: SceneSpec) -> jax.Array:
             for gl, sgn in zip(side, info.gripper_sign):
                 rq = rq.at[int(spec.robot.dof_index[gl])].set(gopen * sgn)
     return rq
+
+
+def settle_human(spec: SceneSpec, state: EnvState, sim_dofs, n_steps: int,
+                 dt: float, gravity=(0.0, 0.0, -1.0)):
+    """Let the human settle under gravity against the scene (bed tasks).
+
+    Re-creates the reference's reset-time settle loops
+    (bed_bathing.py:126-141, arm_manipulation.py:116-147): run n_steps
+    physics substeps with the given human dofs free (no motors), scene
+    contacts active, robot frozen.  Returns (human_q, human_qd).
+    """
+    lower, upper = state.human["lower"], state.human["upper"]
+
+    def body(carry, _):
+        hq, hqd = carry
+        fk_h = kin.fk(spec.human, hq, state.human_base_pos, state.human_base_quat,
+                      origin_xyz=state.human["origin_xyz"])
+        fk_r = kin.fk(spec.robot, state.robot_q, state.robot_base_pos,
+                      state.robot_base_quat)
+        vel_h = kin.link_velocities(spec.human, fk_h, hqd)
+        c = con.evaluate(spec.geoms, spec.pairs,
+                         jnp.concatenate([fk_h.pos, fk_r.pos], 0),
+                         jnp.concatenate([fk_h.quat, fk_r.quat], 0),
+                         jnp.concatenate([vel_h.v, jnp.zeros_like(fk_r.pos)], 0),
+                         jnp.concatenate([vel_h.w, jnp.zeros_like(fk_r.pos)], 0),
+                         p0=state.geom_p0, p1=state.geom_p1,
+                         radius=state.geom_radius)
+        Lh = spec.n_human_links
+        tau_h = kin.link_wrenches_to_joint_torques(
+            spec.human, fk_h, c.link_force[:Lh], c.link_torque[:Lh])
+        res = dyn.substep(
+            spec.human, hq, hqd, dt, jnp.asarray(gravity, f32),
+            tau_ext=tau_h, limit_lower=lower, limit_upper=upper,
+            fk_res=fk_h, inertial=_human_inertial(state), sim_dofs=sim_dofs)
+        return (res.q, res.qd), None
+
+    (hq, hqd), _ = jax.lax.scan(body, (state.human_q, state.human_qd),
+                                None, length=n_steps)
+    return hq, hqd
+
+
+def transform_points_on_link(fk_res, link, local_points):
+    """Batch of local points -> world, on one link (multiplyTransforms loop
+    in update_targets, bed_bathing.py:232-245)."""
+    return fk_res.pos[link][None] + m3.quat_rotate(fk_res.quat[link][None],
+                                                   local_points)
+
+
+def set_human_joint_angles(spec: SceneSpec, hq, pairs_deg):
+    """Set human joint angles by PYBULLET JOINT (=link) index, converting to
+    dof index (the fixed waist link 24 shifts dofs for links >= 25)."""
+    di = spec.human.dof_index
+    for link, deg in pairs_deg:
+        hq = hq.at[int(di[link])].set(math.radians(deg))
+    return hq

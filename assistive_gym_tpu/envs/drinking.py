@@ -128,10 +128,10 @@ class DrinkingTask:
         hp = base.sample_human(k_h, spec, impairment="random")
 
         nh = spec.human.ndof
-        hq = jnp.zeros(nh, f32)
-        for j, deg in ((6, -90.0), (16, -90.0), (28, -90.0), (31, 80.0),
-                       (35, -90.0), (38, 80.0)):                 # drinking.py:128
-            hq = hq.at[j].set(math.radians(deg))
+        hq = base.set_human_joint_angles(
+            spec, jnp.zeros(nh, f32),
+            ((6, -90.0), (16, -90.0), (28, -90.0), (31, 80.0),
+             (35, -90.0), (38, 80.0)))                           # drinking.py:128
         head = jax.random.uniform(k_head, (3,), f32,
                                   math.radians(-30), math.radians(30))
         hq = hq.at[np.asarray([21, 22, 23])].set(head)           # drinking.py:129

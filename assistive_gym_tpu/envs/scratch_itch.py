@@ -108,9 +108,7 @@ class ScratchItchTask:
         hp = base.sample_human(k_h, spec, impairment="random")
 
         nh = spec.human.ndof
-        hq = jnp.zeros(nh, f32)
-        for j, deg in JOINTS_POSITIONS:
-            hq = hq.at[j].set(math.radians(deg))
+        hq = base.set_human_joint_angles(spec, jnp.zeros(nh, f32), JOINTS_POSITIONS)
         hq = jnp.clip(hq, hp["lower"], hp["upper"])
 
         human_base_pos = jnp.asarray([0.0, 0.03, 0.0], f32).at[2].set(hp["base_height"])

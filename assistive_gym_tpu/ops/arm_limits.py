@@ -22,9 +22,14 @@ TWO_PI = 2.0 * np.pi
 
 
 @functools.lru_cache(maxsize=1)
-def _weights():
+def _weights_np():
     z = np.load(os.path.join(_ASSETS, "arm_limits.npz"))
-    return {k: jnp.asarray(v) for k, v in z.items()}
+    # cache numpy only: caching jnp constants across jit traces leaks tracers
+    return {k: np.asarray(v) for k, v in z.items()}
+
+
+def _weights():
+    return {k: jnp.asarray(v) for k, v in _weights_np().items()}
 
 
 def valid_prob(x: jnp.ndarray) -> jnp.ndarray:

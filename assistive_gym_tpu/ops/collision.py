@@ -155,6 +155,9 @@ def contact_force(dist, normal, rel_vel, stiffness, damping, friction,
     Returns (force_on_A f32[...,3], normal_force_magnitude f32[...]).
     """
     depth = jnp.maximum(-(dist - contact_margin), 0.0)
+    # cap the penetration term at 2 cm: deep initial overlaps (e.g. a limb
+    # spawned into the mattress) must not detonate the penalty spring
+    depth = jnp.minimum(depth, 0.02)
     in_contact = depth > 0.0
     v_n = jnp.sum(rel_vel * normal, -1)          # approach rate of A (>0 separating)
     f_n = jnp.maximum(stiffness * depth - damping * v_n, 0.0) * in_contact
