@@ -1,0 +1,320 @@
+"""Dressing task: pulling a hospital-gown sleeve onto the human's left arm.
+
+Functional re-design of reference envs/dressing.py:8-212.  The gown is a
+PBD cloth (ops/cloth.py) anchored to the gripper; each physics substep pins
+the anchor vertices to the current end effector (the reference's
+cloth_attachment reset loop, dressing.py:17-21).  Reward is the geometric
+sleeve-progress classifier over two tracked sleeve-opening triangles
+(util.py:174-238 -> ops/geometry.sleeve_on_arm_reward); cloth forces on the
+body feed the dressing-force preference penalty (dressing.py:34-56).
+
+Gown placement: the reference positions the cloth so its anchor vertices sit
+at the gripper (loadCloth bodyAnchorId semantics, dressing.py:161-170); we
+translate the scaled, yaw-flipped mesh so the anchor centroid coincides with
+the start end-effector position, then let it settle under g/2 (:193,204-207).
+"""
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import config as cfgmod
+from ..models import human as hm
+from ..models import robots as robots_mod
+from ..ops import cloth as cloth_mod
+from ..ops import geometry as geo
+from ..ops import ik as ik_mod
+from ..ops import math3d as m3
+from ..physics import contact as con
+from ..physics import kinematics as kin
+from . import base
+from .base import EnvState, SceneSpec, f32
+
+CONTROLLABLE = tuple(range(10, 20))      # left arm (dressing.py:123)
+SETTLE_STEPS = 200                       # dressing.py:204
+
+
+def build(robot_name: str, human_control: bool) -> "DressingTask":
+    task = "dressing"
+    cfg = cfgmod.TASK_CONFIGS[task]
+    info = robots_mod.ROBOT_INFO[robot_name]
+    robot = robots_mod.load_robot(robot_name)
+    human_model, human_geoms, _ = hm.build_human("male", 1.0, cloth=True)
+    Lh = human_model.nlinks
+
+    geoms = list(human_geoms)
+    n_human_geoms = len(geoms)
+    rg = robots_mod.robot_capsules(robot, info.collision_links, info.capsule_radius)
+    for g in rg:
+        g = dict(g)
+        g["link"] = g["link"] + Lh
+        geoms.append(g)
+    gs = con.GeomSet.build(geoms)
+
+    GROUP_ROBOT_HUMAN = 0
+    pairs = []
+    for rgi in range(n_human_geoms, len(geoms)):
+        for hgi in range(n_human_geoms):
+            pairs.append(dict(a=rgi, b=hgi, kind=0, group=GROUP_ROBOT_HUMAN))
+    pt = con.PairTable.build(pairs, ngroups=1)
+
+    robot_active = np.zeros(robot.ndof, bool)
+    arm_dofs = tuple(int(robot.dof_index[l]) for l in info.arm_left)
+    robot_active[list(arm_dofs)] = True
+
+    spec = SceneSpec(
+        task=task, robot_name=robot_name, human_control=human_control, cfg=cfg,
+        frame_skip=10, time_step=0.01,                      # dressing.py:10
+        action_robot_len=7, action_human_len=10 if human_control else 0,
+        obs_robot_len=24, obs_human_len=28 if human_control else 0,
+        robot=robot, human=human_model, info=info,
+        arm_dofs=arm_dofs, robot_active=robot_active,
+        human_controllable=CONTROLLABLE,
+        geoms=gs, pairs=pt,
+        groups={"robot_human": GROUP_ROBOT_HUMAN},
+        n_human_links=Lh,
+        gravity_robot=(0.0, 0.0, 0.0),                      # dressing.py:193-196
+        gravity_human=(0.0, 0.0, -1.0),
+        human_gains=0.0025, human_forces=1.0,               # dressing.py:13
+        tool_base_link=-1, tool_tip_link=info.dressing_ee,
+        human_params_mf=(base.static_human_params("male", cloth=True),
+                         base.static_human_params("female", cloth=True)),
+        substep_hook=_cloth_substep,
+    )
+    return DressingTask(spec)
+
+
+def _cloth_substep(spec, state, aux, fk_h, fk_r, dt):
+    """Pin anchors to the end effector and advance the cloth (dressing.py:17-21)."""
+    ee = fk_r.pos[spec.tool_tip_link]
+    anchor_pos = ee[None] + aux["anchor_offsets"]
+    a, b, r = _human_segments_cloth(spec, state, fk_h)
+    st = cloth_mod.ClothState(aux["cloth_x"], aux["cloth_v"])
+    st, cf, cp = cloth_mod.substep(st, dt, (0.0, 0.0, -9.81), anchor_pos, a, b, r)
+    return dict(aux, cloth_x=st.x, cloth_v=st.v,
+                cloth_contact_force=cf, cloth_contact_pos=cp)
+
+
+def _human_segments_cloth(spec, state, fk_h):
+    nhg = spec.human_params_mf[0]["geom_p0"].shape[0]
+    wg = con.world_geoms(spec.geoms, fk_h.pos, fk_h.quat,
+                         p0=state.geom_p0, p1=state.geom_p1)
+    return wg.w0[:nhg], wg.w1[:nhg], state.geom_radius[:nhg]
+
+
+class DressingTask:
+    def __init__(self, spec: SceneSpec):
+        self.spec = spec
+        g = cloth_mod.gown_np()
+        self.tri1 = np.asarray(g["tri1"])
+        self.tri2 = np.asarray(g["tri2"])
+        self.n_verts = g["pos"].shape[0]
+        self.n_anchors = g["anchors"].shape[0]
+
+    # ------------------------------------------------------------- reset
+    def reset(self, key: jax.Array) -> Tuple[EnvState, jax.Array]:
+        spec = self.spec
+        info = spec.info
+        key, k_h, k_tpos, k_ik = jax.random.split(key, 4)
+        hp = base.sample_human(k_h, spec, impairment="random")
+
+        nh = spec.human.ndof
+        hq = base.set_human_joint_angles(
+            spec, jnp.zeros(nh, f32),
+            ((6, -90.0), (13, -80.0), (16, -90.0), (28, -90.0),
+             (31, 80.0), (35, -90.0), (38, 80.0)))             # dressing.py:122
+        hq = jnp.clip(hq, hp["lower"], hp["upper"])
+
+        human_base_pos = jnp.asarray([0.0, 0.03, 0.0], f32).at[2].set(hp["base_height"])
+        human_base_quat = jnp.asarray([0, 0, 0, 1], f32)
+
+        hc = np.asarray(CONTROLLABLE)
+        movable = jnp.logical_or(spec.human_control,
+                                 hp["impairment"] == base.IMP_TREMOR)
+        human_active = jnp.zeros(nh, bool).at[hc].set(movable)
+
+        fk_h = kin.fk(spec.human, hq, human_base_pos, human_base_quat,
+                      origin_xyz=hp["origin_xyz"])
+        shoulder, elbow, wrist = fk_h.pos[15], fk_h.pos[17], fk_h.pos[19]
+        offset = jnp.asarray([0.0, 0.0, 0.1], f32)
+
+        rq = base.init_robot_q(spec)
+        arm = np.asarray(spec.arm_dofs)
+        rl = jnp.asarray(spec.robot.dof_limits()[0])[arm]
+        ru = jnp.asarray(spec.robot.dof_limits()[1])[arm]
+        ee = info.dressing_ee
+
+        # target in front-left of the person (dressing.py:135)
+        target_pos_ik = (jnp.asarray([0.45, -0.3, 1.2], f32)
+                         + jax.random.uniform(k_tpos, (3,), f32, -0.05, 0.05))
+
+        if spec.robot_name == "jaco":
+            # wheelchair_jaco_left mount (dressing.py:118-120)
+            robot_base_pos = jnp.asarray([0.35, -0.27, 0.36], f32)
+            robot_base_quat = jnp.asarray([0, 0, 0, 1], f32)
+            tq = m3.quat_from_euler(jnp.asarray([0, -math.pi / 2, 0], f32))
+            res = ik_mod.ik_random_restarts(
+                k_ik, spec.robot, ee, target_pos_ik, tq, rq, spec.arm_dofs,
+                robot_base_pos, robot_base_quat, rl, ru,
+                restarts=20, iters=40, pos_threshold=0.03)
+            rq = res.q
+        else:
+            if spec.robot_name == "pr2":
+                t_eul, off = (0.0, 0.0, math.pi), (1.7, 0.7, 0.0)
+                t_sh = (0.0, 0.0, math.pi * 3 / 2)
+            elif spec.robot_name == "baxter":
+                t_eul, off = (0.0, -math.pi / 2, 0.0), (1.7, 0.7, 0.975)
+                t_sh = (math.pi / 2, -math.pi / 2, 0.0)
+            else:
+                t_eul, off = (0.0, -math.pi / 2, 0.0), (1.8, 0.7, 0.975)
+                t_sh = (math.pi / 2, -math.pi / 2, 0.0)
+            tq = m3.quat_from_euler(jnp.asarray(t_eul, f32))
+            tq_sh = m3.quat_from_euler(jnp.asarray(t_sh, f32))
+            bp, bq, rq = ik_mod.position_robot_toc(
+                k_ik, spec.robot,
+                arms=[(ee, spec.arm_dofs, rl, ru)],
+                start_goals=[[(target_pos_ik, tq)]],
+                extra_goals=[[(shoulder + offset, tq_sh), (elbow + offset, tq),
+                              (wrist + offset, tq)]],
+                q_base=rq, base_quat_center=0.0, pos_offset=off,
+                attempts=30, ik_iters=30, right_side=False,
+                base_euler_orient=(0.0, 0.0, math.pi))
+            robot_base_pos, robot_base_quat = bp, bq
+
+        state = EnvState(
+            key=key, t=jnp.zeros((), jnp.int32),
+            robot_q=rq, robot_qd=jnp.zeros_like(rq),
+            human_q=hq, human_qd=jnp.zeros(nh, f32),
+            robot_base_pos=robot_base_pos, robot_base_quat=robot_base_quat,
+            human_base_pos=human_base_pos, human_base_quat=human_base_quat,
+            human_active=human_active,
+            human_motor_kp=jnp.zeros(nh, f32),
+            human_motor_force=jnp.zeros(nh, f32),
+            target_human_joint_positions=hq,
+            human=hp,
+            geom_p0=jnp.zeros((1,)), geom_p1=jnp.zeros((1,)), geom_radius=jnp.zeros((1,)),
+            prev_valid_right=jnp.concatenate([hq[np.asarray([3, 4, 5, 6])],
+                                              jnp.zeros(1, f32)]),
+            prev_valid_left=jnp.concatenate([hq[np.asarray([13, 14, 15, 16])],
+                                             jnp.zeros(1, f32)]),
+            task_success=jnp.zeros((), f32),
+            aux=dict(),
+        )
+        p0, p1, rad = base.scene_geom_state(spec, hp)
+        state = state.replace(geom_p0=p0, geom_p1=p1, geom_radius=rad)
+
+        # ---- gown placement + settle (dressing.py:158-209) ----
+        fk_h2, fk_r2 = base.scene_fk(spec, state)
+        start_ee = fk_r2.pos[spec.tool_tip_link]
+        yaw = m3.quat_from_euler(jnp.asarray([0.0, 0.0, math.pi], f32))
+        g = cloth_mod.gown_np()
+        anchor_centroid = jnp.asarray(g["pos"][g["anchors"]].mean(0)) * 1.4
+        world_pos = start_ee - m3.quat_rotate(yaw, anchor_centroid)
+        cst = cloth_mod.initial_state(world_pos, yaw)
+        anchor_offsets = cst.x[jnp.asarray(g["anchors"])] - start_ee[None]
+        aux = dict(cloth_x=cst.x, cloth_v=cst.v,
+                   anchor_offsets=anchor_offsets,
+                   cloth_contact_force=jnp.zeros(self.n_verts, f32),
+                   cloth_contact_pos=cst.x,
+                   forearm_in=jnp.zeros((), bool),
+                   upperarm_in=jnp.zeros((), bool))
+        state = state.replace(aux=aux)
+
+        def settle(i, aux):
+            # settle under g/2 with anchors pinned at the start ee (:193,204-207)
+            a, b, r = _human_segments_cloth(spec, state, fk_h2)
+            st = cloth_mod.ClothState(aux["cloth_x"], aux["cloth_v"])
+            st, cf, cp = cloth_mod.substep(
+                st, 0.01, (0.0, 0.0, -9.81 / 2),
+                start_ee[None] + aux["anchor_offsets"], a, b, r)
+            return dict(aux, cloth_x=st.x, cloth_v=st.v)
+        aux = jax.lax.fori_loop(0, SETTLE_STEPS, settle, aux)
+        state = state.replace(aux=aux)
+
+        obs = self._get_obs(state, fk_h2, fk_r2, jnp.zeros(1, f32), jnp.zeros(2, f32))
+        return state, obs
+
+    # ------------------------------------------------------------- step
+    def step(self, state: EnvState, action: jax.Array):
+        spec = self.spec
+        cfg = spec.cfg
+        state, contacts, (fk_h, fk_r), (vel_h, vel_r) = base.take_step(spec, state, action)
+        aux = state.aux
+
+        # cloth force readback with the reference's filters (dressing.py:38-43)
+        cf = aux["cloth_contact_force"]
+        cp = aux["cloth_contact_pos"]
+        valid = (cp[:, 2] < 1.1) & (cf < 20.0)
+        cloth_force_sum = jnp.sum(jnp.where(valid, cf, 0.0))
+
+        # sleeve progress (dressing.py:24-54)
+        tri1 = aux["cloth_x"][jnp.asarray(self.tri1)]
+        tri2 = aux["cloth_x"][jnp.asarray(self.tri2)]
+        d = hm.dims("male")
+        hand_r = state.human["arm_dims"][4]
+        (fore_in, upper_in, along_fore, along_upper, d_hand, _, _,
+         fore_len, upper_len) = geo.sleeve_on_arm_reward(
+            tri1, tri2, fk_h.pos[15], fk_h.pos[17], fk_h.pos[19],
+            hand_r, hand_r, hand_r)
+        forearm_in = aux["forearm_in"] | fore_in
+        upperarm_in = aux["upperarm_in"] | upper_in
+
+        reward_dressing = jnp.where(
+            upperarm_in,
+            fore_len + jnp.where(along_upper < upper_len, along_upper, 0.0),
+            jnp.where(forearm_in & (along_fore < fore_len), along_fore, -d_hand))
+
+        eev = jnp.linalg.norm(vel_r.v[spec.tool_tip_link])
+        preferences = base.human_preferences(
+            spec, end_effector_velocity=eev,
+            dressing_force_sum=cloth_force_sum)
+
+        reward_action = -jnp.sum(jnp.square(jnp.clip(action, -1, 1)))
+        reward = (cfg.dressing_reward_weight * reward_dressing
+                  + cfg.action_weight * reward_action + preferences)
+
+        robot_force_on_human = contacts.group_fn[spec.groups["robot_human"]]
+        total_force_on_human = robot_force_on_human + cloth_force_sum
+        task_success = jnp.maximum(state.task_success, reward_dressing)
+
+        state = state.replace(
+            task_success=task_success,
+            aux=dict(aux, forearm_in=forearm_in, upperarm_in=upperarm_in))
+
+        obs = self._get_obs(state, fk_h, fk_r, jnp.atleast_1d(cloth_force_sum),
+                            jnp.stack([cloth_force_sum, robot_force_on_human]))
+        info = dict(
+            total_force_on_human=total_force_on_human,
+            task_success=(task_success >= cfg.task_success_threshold).astype(f32),
+            action_robot_len=jnp.asarray(spec.action_robot_len),
+            action_human_len=jnp.asarray(spec.action_human_len),
+            obs_robot_len=jnp.asarray(spec.obs_robot_len),
+            obs_human_len=jnp.asarray(spec.obs_human_len),
+        )
+        return state, obs, reward, jnp.zeros((), bool), info
+
+    # ------------------------------------------------------------- obs
+    def _get_obs(self, state, fk_h, fk_r, forces, forces_human):
+        """Obs layout parity: dressing.py:83-107 (24 robot / +28 human);
+        left-arm links 15/17/19."""
+        spec = self.spec
+        torso = fk_r.pos[spec.info.torso]
+        tool_pos = fk_r.pos[spec.tool_tip_link]
+        tool_orient = fk_r.quat[spec.tool_tip_link]
+        arm = np.asarray(spec.arm_dofs)
+        shoulder, elbow, wrist = fk_h.pos[15], fk_h.pos[17], fk_h.pos[19]
+        robot_obs = jnp.concatenate([
+            tool_pos - torso, tool_orient, state.robot_q[arm],
+            shoulder - torso, elbow - torso, wrist - torso, forces])
+        if not spec.human_control:
+            return robot_obs
+        hpos = state.human_base_pos
+        hc = np.asarray(spec.human_controllable)
+        human_obs = jnp.concatenate([
+            tool_pos - hpos, tool_orient, state.human_q[hc],
+            shoulder - hpos, elbow - hpos, wrist - hpos, forces_human])
+        return jnp.concatenate([robot_obs, human_obs])

@@ -205,8 +205,10 @@ class FeedingTask:
             target_human_joint_positions=hq,
             human=hp,
             geom_p0=jnp.zeros((1,)), geom_p1=jnp.zeros((1,)), geom_radius=jnp.zeros((1,)),
-            prev_valid_right=hq[np.asarray([3, 4, 5, 6])],
-            prev_valid_left=hq[np.asarray([13, 14, 15, 16])],
+            prev_valid_right=jnp.concatenate([hq[np.asarray([3, 4, 5, 6])],
+                                              jnp.zeros(1, f32)]),
+            prev_valid_left=jnp.concatenate([hq[np.asarray([13, 14, 15, 16])],
+                                             jnp.zeros(1, f32)]),
             task_success=jnp.zeros((), f32),
             aux=dict(
                 target_pos=mouth, bowl_pos=bowl_pos,

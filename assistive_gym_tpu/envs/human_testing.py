@@ -66,9 +66,10 @@ class HumanTestingTask:
                           jnp.asarray(self.model_f.upper[dl]))
         ox = jnp.where(is_male, jnp.asarray(self.model.origin_xyz),
                        jnp.asarray(self.model_f.origin_xyz))
-        hq = jnp.zeros(self.model.ndof, f32)
+        # creation-time limit clamp (human_creation.py:286-299)
+        hq = jnp.clip(jnp.zeros(self.model.ndof, f32), lower, upper)
         state = HTState(key=key, human_q=hq,
-                        prev_valid_right=hq[np.asarray([3, 4, 5, 6])],
+                        prev_valid_right=jnp.zeros(5, f32),
                         lower=lower, upper=upper, origin_xyz=ox)
         return state, hq
 

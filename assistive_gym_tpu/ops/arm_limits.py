@@ -70,15 +70,22 @@ def left_arm_features(tz, tx, ty, qe):
 def enforce_realistic_limits(q, qd, prev_valid, arm_joints, right: bool):
     """Rollback-to-last-valid-pose semantics (env.py:154-177) as a where-select.
 
-    q, qd: full human dof vectors; prev_valid: f32[4] last valid pose of the
-    4 tracked joints; arm_joints: static tuple of 4 dof indices (3,4,5,6) or
-    (13,14,15,16).  Returns (q', qd', prev_valid')."""
+    q, qd: full human dof vectors; prev_valid: f32[5] = [4 tracked joint
+    angles, seen_flag].  The reference initialises the previous valid pose to
+    None and only rolls back once a valid pose has been recorded
+    (env.py:64,158); the 5th element encodes that flag.  arm_joints: static
+    tuple of 4 dof indices (3,4,5,6) or (13,14,15,16).
+    Returns (q', qd', prev_valid')."""
     j = np.asarray(arm_joints, np.int32)
     angles = q[j]
     feats = (right_arm_features if right else left_arm_features)(
         angles[0], angles[1], angles[2], angles[3])
     ok = is_valid(feats)
-    q_new = jnp.where(ok, q, q.at[j].set(prev_valid))
-    qd_new = jnp.where(ok, qd, qd.at[j].set(0.0))
-    prev_new = jnp.where(ok, angles, prev_valid)
+    seen = prev_valid[4] > 0.5
+    rollback = (~ok) & seen
+    q_new = jnp.where(rollback, q.at[j].set(prev_valid[:4]), q)
+    qd_new = jnp.where(rollback, qd.at[j].set(0.0), qd)
+    prev_angles = jnp.where(ok, angles, prev_valid[:4])
+    flag = jnp.maximum(prev_valid[4], ok.astype(q.dtype))
+    prev_new = jnp.concatenate([prev_angles, flag[None]])
     return q_new, qd_new, prev_new

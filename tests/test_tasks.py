@@ -1,0 +1,93 @@
+"""Per-task smoke + semantics tests (jaco variants keep compile time sane)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from assistive_gym_tpu.envs import build_task
+
+# (task, robot, human_control, obs, act)  — dims from the reference task
+# __init__ signatures (scratch_itch.py:10, bed_bathing.py:10, feeding.py:10,
+# drinking.py:10, dressing.py:10, arm_manipulation.py:10)
+CASES = [
+    ("scratch_itch", "jaco", True, 64, 17),
+    ("bed_bathing", "jaco", False, 24, 7),
+    ("feeding", "jaco", False, 25, 7),
+    ("feeding", "jaco", True, 48, 11),
+    ("drinking", "jaco", False, 25, 7),
+    ("dressing", "jaco", False, 24, 7),
+    ("arm_manipulation", "jaco", False, 45, 14),
+]
+
+
+@pytest.mark.parametrize("task_name,robot,hc,n_obs,n_act", CASES)
+def test_task_shapes_and_determinism(task_name, robot, hc, n_obs, n_act):
+    task = build_task(task_name, robot, hc)
+    assert task.spec.obs_len == n_obs
+    assert task.spec.action_len == n_act
+    reset = jax.jit(task.reset)
+    step = jax.jit(task.step)
+    outs = []
+    for _ in range(2):
+        state, obs = reset(jax.random.PRNGKey(3))
+        assert obs.shape == (n_obs,)
+        a = jnp.full(n_act, 0.2)
+        for _ in range(2):
+            state, obs, rew, done, info = step(state, a)
+        assert np.isfinite(np.asarray(obs)).all()
+        assert np.isfinite(float(rew))
+        outs.append((np.asarray(obs), float(rew)))
+    np.testing.assert_array_equal(outs[0][0], outs[1][0])
+    assert outs[0][1] == outs[1][1]
+    for k in ("total_force_on_human", "task_success"):
+        assert k in info
+
+
+def test_feeding_food_stays_in_scoop():
+    task = build_task("feeding", "jaco", False)
+    state, _ = jax.jit(task.reset)(jax.random.PRNGKey(0))
+    step = jax.jit(task.step)
+    s = state
+    for _ in range(10):
+        s, *_ = step(s, jnp.zeros(7))
+    assert int(np.asarray(s.aux["food_alive"]).sum()) == 8
+
+
+def test_drinking_water_contained():
+    task = build_task("drinking", "jaco", False)
+    state, _ = jax.jit(task.reset)(jax.random.PRNGKey(0))
+    step = jax.jit(task.step)
+    s = state
+    for _ in range(5):
+        s, *_ = step(s, jnp.zeros(7))
+    assert int(np.asarray(s.aux["water_alive"]).sum()) == 64
+
+
+def test_bed_bathing_human_on_bed():
+    from assistive_gym_tpu.envs import base
+    task = build_task("bed_bathing", "jaco", False)
+    state, _ = jax.jit(task.reset)(jax.random.PRNGKey(1))
+    fk_h, _ = base.scene_fk(task.spec, state)
+    z = np.asarray(fk_h.pos[:, 2])
+    assert z.min() > 0.70 and z.max() < 1.0   # lying on the mattress
+
+
+def test_human_testing_sweep():
+    task = build_task("human_testing", "none", False)
+    state, obs = jax.jit(task.reset)(jax.random.PRNGKey(0))
+    step = jax.jit(task.step)
+    q0 = np.asarray(state.human_q).copy()
+    for _ in range(5):
+        state, obs, *_ = step(state, jnp.zeros(1))
+    q1 = np.asarray(state.human_q)
+    assert not np.allclose(q0[4:7], q1[4:7])   # joints swept
+    lo, hi = np.asarray(state.lower), np.asarray(state.upper)
+    assert (q1 >= lo - 1e-6).all() and (q1 <= hi + 1e-6).all()
+
+
+def test_arm_limits_classifier():
+    from assistive_gym_tpu.ops import arm_limits
+    # neutral hanging arm is a valid pose
+    feats = arm_limits.right_arm_features(
+        jnp.asarray(0.3), jnp.asarray(-0.2), jnp.asarray(0.0), jnp.asarray(-0.5))
+    assert bool(arm_limits.is_valid(feats))

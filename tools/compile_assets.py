@@ -78,3 +78,61 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def compile_cloth(reference="/root/reference"):
+    """hospitalgown_reduced.obj -> clustered mass-spring cloth (cloth_gown.npz).
+
+    Extracts vertex/edge data from the reference gown mesh (dressing.py:170:
+    scale 1.4, mass 0.23, anchors + tracked sleeve triangles) and coarsens it
+    by voxel clustering to a TPU-friendly vertex count while preserving the
+    anchor vertices and the two tracked sleeve-opening triangles.
+    """
+    import numpy as np
+
+    path = os.path.join(reference, "assistive_gym/envs/assets/clothing/hospitalgown_reduced.obj")
+    vs, fs = [], []
+    for line in open(path):
+        if line.startswith("v "):
+            vs.append([float(x) for x in line.split()[1:4]])
+        elif line.startswith("f "):
+            idx = [int(t.split("/")[0]) - 1 for t in line.split()[1:]]
+            for k in range(1, len(idx) - 1):
+                fs.append([idx[0], idx[k], idx[k + 1]])
+    v = np.asarray(vs, np.float64)
+    f = np.asarray(fs, np.int64)
+
+    voxel = 0.035
+    keys = np.floor(v / voxel).astype(np.int64)
+    _, cluster_of, counts = np.unique(keys, axis=0, return_inverse=True,
+                                      return_counts=True)
+    nC = counts.shape[0]
+    pos = np.zeros((nC, 3))
+    np.add.at(pos, cluster_of, v)
+    pos /= counts[:, None]
+
+    cf = cluster_of[f]
+    edges = set()
+    for a, b, c in cf:
+        for i, j in ((a, b), (b, c), (c, a)):
+            if i != j:
+                edges.add((min(i, j), max(i, j)))
+    edges = np.asarray(sorted(edges), np.int32)
+    rest = np.linalg.norm(pos[edges[:, 0]] - pos[edges[:, 1]], axis=-1)
+
+    anchors = [2087, 3879, 3681, 3682, 2086, 2041, 987, 2042, 2088, 1647, 2332]
+    tri1 = [621, 37, 1008]
+    tri2 = [130, 3908, 2358]
+    a_c = sorted(set(int(cluster_of[i]) for i in anchors))
+    t1_c = [int(cluster_of[i]) for i in tri1]
+    t2_c = [int(cluster_of[i]) for i in tri2]
+
+    mass = np.full(nC, 0.23 / nC, np.float32)   # total mass 0.23 (dressing.py:170)
+    out = os.path.join(os.path.dirname(__file__), "..",
+                       "assistive_gym_tpu", "models", "assets", "cloth_gown.npz")
+    np.savez(out, pos=pos.astype(np.float32), edges=edges,
+             rest=rest.astype(np.float32), mass=mass,
+             anchors=np.asarray(a_c, np.int32),
+             tri1=np.asarray(t1_c, np.int32), tri2=np.asarray(t2_c, np.int32))
+    print(f"cloth_gown.npz: {nC} verts, {len(edges)} edges, "
+          f"{len(a_c)} anchor clusters")
