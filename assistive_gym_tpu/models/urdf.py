@@ -64,8 +64,48 @@ def _rpy_to_quat(rpy):
     ]
 
 
-def parse_urdf(path: str) -> Dict:
+def _native_lib():
+    """ctypes handle to the C++ compiler (native/urdf_compiler.cc), or None."""
+    import ctypes
+    lib_path = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                            "native", "liburdfc.so")
+    if not os.path.exists(lib_path):
+        return None
+    try:
+        lib = ctypes.CDLL(lib_path)
+        lib.urdfc_compile.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+        lib.urdfc_compile.restype = ctypes.c_int
+        return lib
+    except OSError:
+        return None
+
+
+def parse_urdf_native(path: str) -> Optional[Dict]:
+    """Compile via the native library; None if unavailable."""
+    import json as _json
+    import tempfile
+
+    lib = _native_lib()
+    if lib is None:
+        return None
+    with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tmp:
+        out = tmp.name
+    try:
+        rc = lib.urdfc_compile(path.encode(), out.encode())
+        if rc != 0:
+            return None
+        with open(out) as f:
+            return _json.load(f)
+    finally:
+        os.unlink(out)
+
+
+def parse_urdf(path: str, prefer_native: bool = False) -> Dict:
     """Parse a URDF file into a flat spec dict (see module docstring)."""
+    if prefer_native:
+        spec = parse_urdf_native(path)
+        if spec is not None:
+            return spec
     tree = ET.parse(path)
     robot = tree.getroot()
     name = robot.get("name", os.path.basename(path))
