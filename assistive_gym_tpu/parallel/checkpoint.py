@@ -1,0 +1,112 @@
+"""Checkpoint / resume for the PPO loop.
+
+The reference has no checkpointing (SURVEY.md §5: policies were trained and
+saved by an external PPO repo; trained_models/ppo/__init__.py is an empty
+placeholder).  Here checkpointing is first-class: the full training state —
+policy/optimizer params, PRNG key, update counter, and optionally the entire
+sharded EnvState pytree — serializes losslessly, so mid-rollout resume is
+exact (same key ⇒ bit-identical continuation).
+
+Format: flax.serialization msgpack for the pytree payload + a small JSON
+sidecar with step metadata.  No orbax dependency so checkpoints stay
+readable in any environment with flax installed; files are written
+atomically (tmp + rename) so a killed host never leaves a torn checkpoint
+(the failure-recovery story: restart from the newest valid checkpoint,
+SURVEY.md §5 "failure detection").
+"""
+from __future__ import annotations
+
+import json
+import os
+import re
+import tempfile
+from typing import Any, Optional, Tuple
+
+import jax
+import numpy as np
+from flax import serialization
+
+_CKPT_RE = re.compile(r"^ckpt_(\d+)\.msgpack$")
+
+
+def _host_gather(tree):
+    """Fetch a (possibly sharded) pytree to host numpy arrays."""
+    return jax.tree.map(lambda x: np.asarray(jax.device_get(x)), tree)
+
+
+def save(ckpt_dir: str, step: int, train_state, env_state=None,
+         extra: Optional[dict] = None, keep: int = 3) -> str:
+    """Write ckpt_{step}.msgpack atomically; prune to the newest `keep`."""
+    os.makedirs(ckpt_dir, exist_ok=True)
+    payload = {"train_state": _host_gather(train_state)}
+    if env_state is not None:
+        payload["env_state"] = _host_gather(env_state)
+    blob = serialization.to_bytes(payload)
+
+    path = os.path.join(ckpt_dir, f"ckpt_{step}.msgpack")
+    fd, tmp = tempfile.mkstemp(dir=ckpt_dir, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+    meta = {"step": step, "has_env_state": env_state is not None}
+    meta.update(extra or {})
+    mfd, mtmp = tempfile.mkstemp(dir=ckpt_dir, suffix=".tmp")
+    with os.fdopen(mfd, "w") as f:
+        json.dump(meta, f)
+    os.replace(mtmp, os.path.join(ckpt_dir, f"ckpt_{step}.json"))
+
+    _prune(ckpt_dir, keep)
+    return path
+
+
+def latest_step(ckpt_dir: str) -> Optional[int]:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    steps = [int(m.group(1)) for n in os.listdir(ckpt_dir)
+             if (m := _CKPT_RE.match(n))]
+    return max(steps) if steps else None
+
+
+def restore(ckpt_dir: str, train_state_template, env_state_template=None,
+            step: Optional[int] = None) -> Tuple[int, Any, Any]:
+    """Restore (step, train_state, env_state) onto the templates' structure.
+
+    Templates supply pytree structure and shardings: restored leaves are
+    device_put with each template leaf's sharding, so a resumed run lands
+    back on the same mesh layout.
+    """
+    if step is None:
+        step = latest_step(ckpt_dir)
+    if step is None:
+        raise FileNotFoundError(f"no checkpoints under {ckpt_dir!r}")
+    with open(os.path.join(ckpt_dir, f"ckpt_{step}.msgpack"), "rb") as f:
+        blob = f.read()
+    template = {"train_state": _host_gather(train_state_template)}
+    if env_state_template is not None:
+        template["env_state"] = _host_gather(env_state_template)
+    payload = serialization.from_bytes(template, blob)
+
+    def _place(host_leaf, tmpl_leaf):
+        sh = getattr(tmpl_leaf, "sharding", None)
+        return jax.device_put(host_leaf, sh) if sh is not None else jax.device_put(host_leaf)
+
+    ts = jax.tree.map(_place, payload["train_state"], train_state_template)
+    es = None
+    if env_state_template is not None and "env_state" in payload:
+        es = jax.tree.map(_place, payload["env_state"], env_state_template)
+    return step, ts, es
+
+
+def _prune(ckpt_dir: str, keep: int) -> None:
+    steps = sorted(int(m.group(1)) for n in os.listdir(ckpt_dir)
+                   if (m := _CKPT_RE.match(n)))
+    for s in steps[:-keep] if keep > 0 else []:
+        for suffix in (".msgpack", ".json"):
+            p = os.path.join(ckpt_dir, f"ckpt_{s}{suffix}")
+            if os.path.exists(p):
+                os.unlink(p)

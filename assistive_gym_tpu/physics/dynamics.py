@@ -64,19 +64,45 @@ def _skew(v):
     ], -2)
 
 
+def _rel_links(model: ArticulatedModel, dofs) -> np.ndarray:
+    """Static link subset that can contribute to reduced dynamics over `dofs`:
+    the union of those dofs' subtrees.  Links outside it have zero velocity
+    (their dofs are frozen) and project to zero torque on `dofs`, so all
+    link-level work (spatial inertias, RNEA sweeps) shrinks to this set —
+    e.g. Feeding simulates 4 head dofs of the 41-link human, so only the
+    head's ~4 links enter the O(L) sweeps instead of all 41."""
+    key = "_rel_links_cache"
+    cache = getattr(model, key, None)
+    if cache is None:
+        cache = {}
+        object.__setattr__(model, key, cache)
+    tkey = tuple(int(d) for d in np.asarray(dofs).tolist())
+    if tkey not in cache:
+        _, subtree_dof, _ = _masks(model)
+        sub = np.asarray(subtree_dof)[np.asarray(tkey, np.int32)]
+        cache[tkey] = np.nonzero(sub.sum(0) > 0)[0].astype(np.int32)
+    return cache[tkey]
+
+
 def _spatial_inertia_origin(model: ArticulatedModel, fk_res: FK,
-                            mass=None, com=None, inertia_diag=None) -> jnp.ndarray:
+                            mass=None, com=None, inertia_diag=None,
+                            links=None) -> jnp.ndarray:
     """f32[L,6,6] spatial inertia of each link about the world origin.
     mass/com/inertia_diag optionally override the static model (per-env
-    gender-dependent bodies)."""
+    gender-dependent bodies).  `links`: optional static subset."""
     mass = jnp.asarray(model.mass) if mass is None else mass
     com = jnp.asarray(model.com) if com is None else com
     inertia_diag = jnp.asarray(model.inertia_diag) if inertia_diag is None else inertia_diag
-    Rl = m3.quat_to_mat(fk_res.quat)                      # [L,3,3]
-    Rp = m3.quat_to_mat(jnp.asarray(model.inertia_quat))  # [L,3,3]
+    pos, quat = fk_res.pos, fk_res.quat
+    inertia_quat = jnp.asarray(model.inertia_quat)
+    if links is not None:
+        mass, com, inertia_diag = mass[links], com[links], inertia_diag[links]
+        pos, quat, inertia_quat = pos[links], quat[links], inertia_quat[links]
+    Rl = m3.quat_to_mat(quat)                             # [L,3,3]
+    Rp = m3.quat_to_mat(inertia_quat)                     # [L,3,3]
     R = Rl @ Rp
     Ic = R @ (inertia_diag[:, :, None] * jnp.swapaxes(R, -1, -2))
-    c = fk_res.pos + m3.quat_rotate(fk_res.quat, com)     # world com
+    c = pos + m3.quat_rotate(quat, com)                   # world com
     m = mass[:, None, None]
     cx = _skew(c)
     top_left = Ic + m * (cx @ jnp.swapaxes(cx, -1, -2))
@@ -107,15 +133,19 @@ def crba(model: ArticulatedModel, fk_res: FK, inertial=None, dofs=None) -> jnp.n
     `inertial`: optional dict(mass=, com=, inertia_diag=) per-env override.
     `dofs`: static dof subset -> reduced mass matrix over those dofs only."""
     inertial = inertial or {}
-    I_O = _spatial_inertia_origin(model, fk_res, **inertial)   # [L,6,6]
     S = motion_subspace(model, fk_res, dofs)                   # [n,6]
     _, subtree_dof, dof_anc = _masks(model)
+    nlinks = model.nlinks
+    rel = None
     if dofs is not None:
         d = np.asarray(dofs)
-        subtree_dof = subtree_dof[d]
+        rel = _rel_links(model, d)
+        subtree_dof = subtree_dof[np.ix_(d, rel)]
         dof_anc = dof_anc[np.ix_(d, d)]
-    # composite inertia of each dof's subtree: one [n,L]x[L,36] matmul
-    Ic = (subtree_dof @ I_O.reshape(model.nlinks, 36)).reshape(-1, 6, 6)
+        nlinks = len(rel)
+    I_O = _spatial_inertia_origin(model, fk_res, links=rel, **inertial)
+    # composite inertia of each dof's subtree: one [n,R]x[R,36] matmul
+    Ic = (subtree_dof @ I_O.reshape(nlinks, 36)).reshape(-1, 6, 6)
     F = jnp.einsum("jab,jb->ja", Ic, S)                        # [n,6]
     M_full = S @ F.T                                           # [n,n]: M_full[k,j] = S_k . F_j
     upper = M_full * dof_anc.T                                 # keep k anc-or-self of j
@@ -135,19 +165,22 @@ def rnea_bias(model: ArticulatedModel, fk_res: FK, qd: jnp.ndarray,
     its own model.
     """
     inertial = inertial or {}
-    I_O = _spatial_inertia_origin(model, fk_res, **inertial)   # [L,6,6]
     S = motion_subspace(model, fk_res, dofs)                   # [n,6]
     anc_dof, subtree_dof, _ = _masks(model)
     dl = np.asarray(model.dof_links)
+    rel = None
     if dofs is not None:
         d = np.asarray(dofs)
-        dl = dl[d]
-        anc_dof = anc_dof[:, d]
-        subtree_dof = subtree_dof[d]
+        rel = _rel_links(model, d)
+        # dof link positions within the reduced link list
+        dl = np.searchsorted(rel, dl[d])
+        anc_dof = anc_dof[np.ix_(rel, d)]
+        subtree_dof = subtree_dof[np.ix_(d, rel)]
+    I_O = _spatial_inertia_origin(model, fk_res, links=rel, **inertial)
     f32d = fk_res.pos.dtype
 
     Sqd = S * qd[:, None]                                      # [n,6]
-    v = anc_dof @ Sqd                                          # [L,6] link spatial vel
+    v = anc_dof @ Sqd                                          # [R,6] link spatial vel
     v_parent_of_dof = v[dl] - Sqd                              # parent link vel per dof
     coriolis = _cross_motion(v_parent_of_dof, Sqd)             # [n,6]
     a_base = jnp.concatenate([jnp.zeros(3, f32d), -gravity])

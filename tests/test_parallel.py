@@ -1,0 +1,128 @@
+"""Sharded training, checkpointing, and determinism tests.
+
+Runs on the virtual 8-device CPU mesh (conftest.py) — the standard JAX
+pattern for exercising the pjit/shard_map multi-chip path without a pod
+(SURVEY.md §4).
+"""
+import os
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from assistive_gym_tpu.envs import build_task
+from assistive_gym_tpu.parallel import checkpoint, ppo
+
+
+@pytest.fixture(scope="module")
+def task():
+    return build_task("scratch_itch", "jaco", False)
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg():
+    return ppo.PPOConfig(num_envs=8, rollout_len=2, num_minibatches=2,
+                         num_epochs=1)
+
+
+def test_train_step_sharded_8dev(task, tiny_cfg):
+    """Full train step jitted over an 8-device mesh: compiles, runs, and the
+    env state stays sharded over the 'env' axis."""
+    assert len(jax.devices()) == 8, "conftest must fake 8 CPU devices"
+    mesh = Mesh(np.array(jax.devices()), axis_names=("env",))
+    ts, env_state = ppo.init(task, tiny_cfg, jax.random.PRNGKey(0), mesh)
+    train_step = ppo.make_train_step(task, tiny_cfg, mesh)
+    ts, env_state, metrics = train_step(ts, env_state)
+    jax.block_until_ready(metrics)
+    for v in jax.tree.leaves(metrics):
+        assert np.all(np.isfinite(np.asarray(v)))
+    # env axis sharded over all 8 devices
+    assert len(env_state.robot_q.sharding.device_set) == 8
+
+
+def test_train_step_matches_unsharded(task, tiny_cfg):
+    """Mesh vs no-mesh training from identical keys: same metrics (the
+    sharding is a layout annotation, not a semantic change)."""
+    mesh = Mesh(np.array(jax.devices()), axis_names=("env",))
+    ts_m, es_m = ppo.init(task, tiny_cfg, jax.random.PRNGKey(7), mesh)
+    ts_s, es_s = ppo.init(task, tiny_cfg, jax.random.PRNGKey(7), None)
+    _, _, m_mesh = ppo.make_train_step(task, tiny_cfg, mesh)(ts_m, es_m)
+    _, _, m_single = ppo.make_train_step(task, tiny_cfg, None)(ts_s, es_s)
+    for a, b in zip(jax.tree.leaves(m_mesh), jax.tree.leaves(m_single)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_checkpoint_roundtrip(task, tiny_cfg):
+    ts, env_state = ppo.init(task, tiny_cfg, jax.random.PRNGKey(1), None)
+    with tempfile.TemporaryDirectory() as d:
+        checkpoint.save(d, 5, ts, env_state)
+        assert checkpoint.latest_step(d) == 5
+        step, ts2, es2 = checkpoint.restore(d, ts, env_state)
+    assert step == 5
+    for a, b in zip(jax.tree.leaves(ts), jax.tree.leaves(ts2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(env_state), jax.tree.leaves(es2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_prune_and_latest(task, tiny_cfg):
+    ts, env_state = ppo.init(task, tiny_cfg, jax.random.PRNGKey(2), None)
+    with tempfile.TemporaryDirectory() as d:
+        for s in (1, 2, 3, 4):
+            checkpoint.save(d, s, ts, keep=2)
+        steps = sorted(int(n.split("_")[1].split(".")[0])
+                       for n in os.listdir(d) if n.endswith(".msgpack"))
+        assert steps == [3, 4]
+
+
+def test_rollout_determinism(task):
+    """Same PRNG key ⇒ bit-identical rollout (SURVEY.md §7 hard part 5)."""
+    keys = jax.random.split(jax.random.PRNGKey(3), 4)
+    reset = jax.jit(jax.vmap(task.reset))
+    step = jax.jit(jax.vmap(task.step))
+    acts = jax.random.uniform(jax.random.PRNGKey(9),
+                              (4, task.spec.action_len), jnp.float32, -1, 1)
+
+    def run():
+        state, obs = reset(keys)
+        for _ in range(3):
+            state, obs, rew, done, info = step(state, acts)
+        return np.asarray(obs), np.asarray(rew)
+
+    o1, r1 = run()
+    o2, r2 = run()
+    np.testing.assert_array_equal(o1, o2)
+    np.testing.assert_array_equal(r1, r2)
+
+
+def test_coop_train_step(tiny_cfg):
+    """Dual-policy co-optimization on a *Human-v0 env (SURVEY.md §7.12)."""
+    from assistive_gym_tpu.parallel import coop
+    htask = build_task("scratch_itch", "jaco", True)
+    ts, env_state = coop.init(htask, tiny_cfg, jax.random.PRNGKey(0), None)
+    train_step = coop.make_train_step(htask, tiny_cfg, None)
+    ts, env_state, metrics = train_step(ts, env_state)
+    jax.block_until_ready(metrics)
+    for v in jax.tree.leaves(metrics):
+        assert np.all(np.isfinite(np.asarray(v)))
+    assert int(ts.robot.update_i) == 1 and int(ts.human.update_i) == 1
+
+
+def test_vmap_matches_single_env(task):
+    """Batched step == single-env step on the same state (bit-level)."""
+    keys = jax.random.split(jax.random.PRNGKey(4), 3)
+    state, obs = jax.jit(jax.vmap(task.reset))(keys)
+    acts = jax.random.uniform(jax.random.PRNGKey(5),
+                              (3, task.spec.action_len), jnp.float32, -1, 1)
+    _, obs_b, rew_b, _, _ = jax.jit(jax.vmap(task.step))(state, acts)
+
+    one = jax.tree.map(lambda x: x[1], state)
+    _, obs_1, rew_1, _, _ = jax.jit(task.step)(one, acts[1])
+    np.testing.assert_allclose(np.asarray(obs_b[1]), np.asarray(obs_1),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(rew_b[1]), np.asarray(rew_1),
+                               rtol=1e-5, atol=1e-5)

@@ -1,0 +1,100 @@
+"""Train a PPO policy on any registered env, sharded over all local devices.
+
+The reference trained with an external PPO repo (SURVEY.md §0: no training
+code in-tree, README.md:45-48); this is the in-tree TPU-native trainer:
+
+    python train.py --env FeedingJaco-v0 --updates 200 \
+        --num-envs 4096 --log-dir runs/feeding --ckpt-dir ckpts/feeding
+
+Resumes automatically from the newest checkpoint in --ckpt-dir.
+One update = one full 200-step episode across all envs + a clipped-PPO
+update; envs are sharded over a 1-D device mesh ('env' axis) and gradients
+all-reduce over ICI via the pjit sharding annotations (SURVEY.md §2.3).
+"""
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+from assistive_gym_tpu.registry import ENV_IDS, load
+from assistive_gym_tpu.parallel import ppo, checkpoint
+from assistive_gym_tpu.utils.metrics import MetricsLogger
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--env", default="ScratchItchJaco-v0", choices=sorted(ENV_IDS))
+    p.add_argument("--updates", type=int, default=100)
+    p.add_argument("--num-envs", type=int, default=4096)
+    p.add_argument("--rollout-len", type=int, default=200)
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--log-dir", default=None)
+    p.add_argument("--ckpt-dir", default=None)
+    p.add_argument("--ckpt-every", type=int, default=10)
+    p.add_argument("--no-mesh", action="store_true",
+                   help="single-device, no sharding (debug)")
+    p.add_argument("--coop", action="store_true",
+                   help="dual-policy co-optimization (requires a *Human-v0 env)")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    task = load(args.env)
+
+    devices = jax.devices()
+    mesh = None
+    if not args.no_mesh and len(devices) >= 1:
+        n = len(devices)
+        num_envs = (args.num_envs // n) * n or n
+        mesh = Mesh(np.array(devices), axis_names=("env",))
+    else:
+        num_envs = args.num_envs
+    cfg = ppo.PPOConfig(num_envs=num_envs, rollout_len=args.rollout_len,
+                        lr=args.lr)
+    print(f"env={args.env} devices={len(devices)} num_envs={num_envs}")
+
+    if args.coop:
+        from assistive_gym_tpu.parallel import coop as algo
+        if not task.spec.human_control:
+            raise SystemExit("--coop requires a *Human-v0 env id")
+    else:
+        algo = ppo
+    ts, env_state = algo.init(task, cfg, jax.random.PRNGKey(args.seed), mesh)
+    train_step = algo.make_train_step(task, cfg, mesh)
+
+    start = 0
+    if args.ckpt_dir and checkpoint.latest_step(args.ckpt_dir) is not None:
+        start, ts, env_state = checkpoint.restore(args.ckpt_dir, ts, env_state)
+        print(f"resumed from update {start}")
+
+    logger = MetricsLogger(args.log_dir) if args.log_dir else None
+    steps_per_update = cfg.num_envs * cfg.rollout_len
+
+    for i in range(start, args.updates):
+        t0 = time.time()
+        ts, env_state, metrics = train_step(ts, env_state)
+        jax.block_until_ready(metrics)
+        dt = time.time() - t0
+        sps = steps_per_update / dt
+        if logger:
+            logger.log(i + 1, metrics, extra={"env_steps_per_s": round(sps, 1)})
+        else:
+            m = {k: float(np.asarray(v).mean()) for k, v in metrics.items()}
+            print(f"[{i + 1}/{args.updates}] return={m.get('mean_return', 0):.2f} "
+                  f"success={m.get('success_rate', 0):.3f} {sps:,.0f} steps/s",
+                  flush=True)
+        if args.ckpt_dir and (i + 1) % args.ckpt_every == 0:
+            checkpoint.save(args.ckpt_dir, i + 1, ts, env_state)
+
+    if args.ckpt_dir:
+        checkpoint.save(args.ckpt_dir, args.updates, ts, env_state)
+
+
+if __name__ == "__main__":
+    main()
