@@ -310,13 +310,28 @@ def take_step(spec: SceneSpec, state: EnvState, action: jax.Array,
             jnp.where(apply, spec.human_forces * state.human["strength"], h_force[hc]))
 
     # --- frame_skip physics substeps (env.py:133-137) ---
+    # Static FK caching: only descendants of the simulated dofs move during
+    # the substep loop (fixed bases, frozen non-sim dofs) — one full FK up
+    # front, then per-substep FK recomputes just those chains
+    # (kin.fk_partial; e.g. 4 of 41 human links for Feeding).
+    r_sim = tuple(sorted(set(spec.arm_dofs)))
+    h_sim = spec.human_controllable
+    r_moving = kin.moving_links(spec.robot, r_sim) if r_sim else np.zeros(0, np.int32)
+    h_moving = kin.moving_links(spec.human, h_sim) if h_sim else np.zeros(0, np.int32)
+    fk_r_cache = kin.fk(spec.robot, state.robot_q, state.robot_base_pos,
+                        state.robot_base_quat)
+    fk_h_cache = kin.fk(spec.human, state.human_q, state.human_base_pos,
+                        state.human_base_quat, origin_xyz=state.human["origin_xyz"])
+
     def substep(carry, _):
         rq, rqd, hq, hqd, pvr, pvl, aux = carry
-        fk_r = kin.fk(spec.robot, rq, state.robot_base_pos, state.robot_base_quat)
-        fk_h = kin.fk(spec.human, hq, state.human_base_pos, state.human_base_quat,
-                      origin_xyz=state.human["origin_xyz"])
-        vel_r = kin.link_velocities(spec.robot, fk_r, rqd)
-        vel_h = kin.link_velocities(spec.human, fk_h, hqd)
+        fk_r = kin.fk_partial(spec.robot, rq, state.robot_base_pos,
+                              state.robot_base_quat, fk_r_cache, r_moving)
+        fk_h = kin.fk_partial(spec.human, hq, state.human_base_pos,
+                              state.human_base_quat, fk_h_cache, h_moving,
+                              origin_xyz=state.human["origin_xyz"])
+        vel_r = kin.link_velocities(spec.robot, fk_r, rqd, dofs=r_sim)
+        vel_h = kin.link_velocities(spec.human, fk_h, hqd, dofs=h_sim)
         c = con.evaluate(spec.geoms, spec.pairs,
                          jnp.concatenate([fk_h.pos, fk_r.pos], 0),
                          jnp.concatenate([fk_h.quat, fk_r.quat], 0),
@@ -326,9 +341,9 @@ def take_step(spec: SceneSpec, state: EnvState, action: jax.Array,
                          radius=state.geom_radius)
         Lh = spec.n_human_links
         tau_r = kin.link_wrenches_to_joint_torques(
-            spec.robot, fk_r, c.link_force[Lh:], c.link_torque[Lh:])
+            spec.robot, fk_r, c.link_force[Lh:], c.link_torque[Lh:], dofs=r_sim)
         tau_h = kin.link_wrenches_to_joint_torques(
-            spec.human, fk_h, c.link_force[:Lh], c.link_torque[:Lh])
+            spec.human, fk_h, c.link_force[:Lh], c.link_torque[:Lh], dofs=h_sim)
 
         res_r = dyn.substep(
             spec.robot, rq, rqd, dt, jnp.asarray(spec.gravity_robot, f32),

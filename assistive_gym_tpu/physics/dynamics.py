@@ -145,10 +145,10 @@ def crba(model: ArticulatedModel, fk_res: FK, inertial=None, dofs=None) -> jnp.n
         nlinks = len(rel)
     I_O = _spatial_inertia_origin(model, fk_res, links=rel, **inertial)
     # composite inertia of each dof's subtree: one [n,R]x[R,36] matmul
-    Ic = (subtree_dof @ I_O.reshape(nlinks, 36)).reshape(-1, 6, 6)
+    Ic = (jnp.asarray(subtree_dof) @ I_O.reshape(nlinks, 36)).reshape(-1, 6, 6)
     F = jnp.einsum("jab,jb->ja", Ic, S)                        # [n,6]
     M_full = S @ F.T                                           # [n,n]: M_full[k,j] = S_k . F_j
-    upper = M_full * dof_anc.T                                 # keep k anc-or-self of j
+    upper = M_full * jnp.asarray(dof_anc.T)                                 # keep k anc-or-self of j
     M = upper + upper.T - jnp.diag(jnp.diagonal(upper))
     return M
 
@@ -180,15 +180,15 @@ def rnea_bias(model: ArticulatedModel, fk_res: FK, qd: jnp.ndarray,
     f32d = fk_res.pos.dtype
 
     Sqd = S * qd[:, None]                                      # [n,6]
-    v = anc_dof @ Sqd                                          # [R,6] link spatial vel
+    v = jnp.asarray(anc_dof) @ Sqd                                          # [R,6] link spatial vel
     v_parent_of_dof = v[dl] - Sqd                              # parent link vel per dof
     coriolis = _cross_motion(v_parent_of_dof, Sqd)             # [n,6]
     a_base = jnp.concatenate([jnp.zeros(3, f32d), -gravity])
-    a = anc_dof @ coriolis + a_base[None, :]                   # [L,6]
+    a = jnp.asarray(anc_dof) @ coriolis + a_base[None, :]                   # [L,6]
 
     Iv = jnp.einsum("lab,lb->la", I_O, v)
     f = jnp.einsum("lab,lb->la", I_O, a) + _cross_force(v, Iv)  # [L,6]
-    acc = subtree_dof @ f                                       # [n,6]
+    acc = jnp.asarray(subtree_dof) @ f                                       # [n,6]
     return jnp.sum(S * acc, -1)
 
 

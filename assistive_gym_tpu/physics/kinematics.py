@@ -54,10 +54,32 @@ def _masks(model: ArticulatedModel):
     anc_dof = anc[:, dl]                     # [L, ndof]
     subtree_dof = anc[:, dl].T               # [ndof, L]: link i in subtree of dof d
     dof_anc_dof = anc[dl][:, dl]             # [ndof, ndof]: [j,k]=1 if k anc-or-self j
-    # cache NUMPY arrays only — caching jnp constants across jit traces leaks
+    # NUMPY arrays only — jnp constants may not cross jit traces, and
+    # numpy-dependent callers (_rel_links, moving_links) need host values
     cache = (anc_dof, subtree_dof, dof_anc_dof)
     object.__setattr__(model, key, cache)
-    return tuple(jnp.asarray(a) for a in cache)
+    return cache
+
+
+def moving_links(model: ArticulatedModel, dofs) -> np.ndarray:
+    """Static link subset whose world pose depends on the dofs in `dofs`:
+    descendants-or-self of those dofs' links, in topological order.  With a
+    fixed base, every other link's pose is constant while only `dofs` move —
+    the basis for caching static FK across substeps (e.g. Feeding simulates
+    4 head dofs: 4 of the human's 41 links move)."""
+    key = "_moving_links_cache"
+    cache = getattr(model, key, None)
+    if cache is None:
+        cache = {}
+        object.__setattr__(model, key, cache)
+    tkey = tuple(int(d) for d in np.asarray(dofs).tolist())
+    if tkey not in cache:
+        if not hasattr(model, "_mask_cache"):
+            _masks(model)
+        subtree_dof_np = np.asarray(getattr(model, "_mask_cache")[1])
+        sub = subtree_dof_np[np.asarray(tkey, np.int32)]
+        cache[tkey] = np.nonzero(sub.sum(0) > 0)[0].astype(np.int32)
+    return cache[tkey]
 
 
 def fk(model: ArticulatedModel, q: jnp.ndarray,
@@ -104,6 +126,52 @@ def fk(model: ArticulatedModel, q: jnp.ndarray,
     return FK(pos_buf[1:], quat_buf[1:])
 
 
+def fk_partial(model: ArticulatedModel, q: jnp.ndarray,
+               base_pos: jnp.ndarray, base_quat: jnp.ndarray,
+               cache: FK, links: np.ndarray,
+               origin_xyz: Optional[jnp.ndarray] = None) -> FK:
+    """FK recomputing only the static subset `links` (topologically ordered,
+    see moving_links); every other link keeps its pose from `cache`.
+
+    Exact when `cache` was computed with the same base pose and the same
+    values of all dofs NOT on the chains of `links` — the situation inside
+    take_step's substep loop, where only the simulated dofs change (the
+    reference's mass=0 freeze, world_creation.py:140-144)."""
+    f32 = q.dtype
+    L = model.nlinks
+    links = np.asarray(links, np.int32)
+    if len(links) >= L:  # nothing static to reuse
+        return fk(model, q, base_pos, base_quat, origin_xyz=origin_xyz)
+    ox = jnp.asarray(model.origin_xyz, f32) if origin_xyz is None else origin_xyz
+    oq = jnp.asarray(model.origin_quat, f32)
+    axis = jnp.asarray(model.axis, f32)
+    parent = jnp.asarray(model.parent + 1, jnp.int32)
+    is_rev = jnp.asarray(model.joint_type == JOINT_REVOLUTE)
+    is_pri = jnp.asarray(model.joint_type == JOINT_PRISMATIC)
+    dof_index = jnp.asarray(np.maximum(model.dof_index, 0), jnp.int32)
+    has_dof = jnp.asarray(model.dof_index >= 0)
+
+    pos_buf = jnp.concatenate([base_pos[None], cache.pos], 0)
+    quat_buf = jnp.concatenate([base_quat[None], cache.quat], 0)
+
+    def body(carry, i):
+        pos_buf, quat_buf = carry
+        p = parent[i]
+        pp = pos_buf[p]
+        pq = quat_buf[p]
+        jp = pp + m3.quat_rotate(pq, ox[i])
+        jq = m3.quat_mul(pq, oq[i])
+        qi = jnp.where(has_dof[i], q[dof_index[i]], 0.0)
+        rot = m3.quat_from_axis_angle(axis[i], jnp.where(is_rev[i], qi, 0.0))
+        jq = m3.quat_mul(jq, rot)
+        jp = jp + jnp.where(is_pri[i], qi, 0.0) * m3.quat_rotate(jq, axis[i])
+        return (pos_buf.at[i + 1].set(jp), quat_buf.at[i + 1].set(jq)), None
+
+    (pos_buf, quat_buf), _ = jax.lax.scan(
+        body, (pos_buf, quat_buf), jnp.asarray(links, jnp.int32), unroll=8)
+    return FK(pos_buf[1:], quat_buf[1:])
+
+
 def motion_subspace(model: ArticulatedModel, fk_res: FK, dofs=None) -> jnp.ndarray:
     """f32[ndof,6]: world-origin motion subspace per dof: [omega; v_O].
 
@@ -133,11 +201,20 @@ class LinkVel(NamedTuple):
 def link_velocities(model: ArticulatedModel, fk_res: FK, qd: jnp.ndarray,
                     base_v: Optional[jnp.ndarray] = None,
                     base_w: Optional[jnp.ndarray] = None,
-                    base_pos: Optional[jnp.ndarray] = None) -> LinkVel:
-    """v_spatial[i] = sum_{dofs k on the chain to i} S_k qd_k: one matmul."""
+                    base_pos: Optional[jnp.ndarray] = None,
+                    dofs=None) -> LinkVel:
+    """v_spatial[i] = sum_{dofs k on the chain to i} S_k qd_k: one matmul.
+
+    `dofs`: optional static subset of dofs with (possibly) nonzero qd — the
+    contraction shrinks to those columns; qd is still indexed full-length."""
     anc_dof, _, _ = _masks(model)
-    S = motion_subspace(model, fk_res)                 # [n,6]
-    v_sp = anc_dof @ (S * qd[:, None])                 # [L,6]
+    if dofs is not None:
+        d = np.asarray(dofs, np.int32)
+        S = motion_subspace(model, fk_res, d)          # [k,6]
+        v_sp = jnp.asarray(anc_dof[:, d]) @ (S * qd[d][:, None])    # [L,6]
+    else:
+        S = motion_subspace(model, fk_res)             # [n,6]
+        v_sp = jnp.asarray(anc_dof) @ (S * qd[:, None])             # [L,6]
     if base_v is not None or base_w is not None:
         f32 = fk_res.pos.dtype
         bv = jnp.zeros(3, f32) if base_v is None else base_v
@@ -168,14 +245,24 @@ def point_jacobian(model: ArticulatedModel, fk_res: FK,
 def link_wrenches_to_joint_torques(
     model: ArticulatedModel, fk_res: FK,
     force: jnp.ndarray, torque: jnp.ndarray,
+    dofs=None,
 ) -> jnp.ndarray:
     """Map per-link world wrenches (force f32[L,3] applied at the link origin,
     torque f32[L,3]) to generalised joint torques f32[ndof]:
     tau = S . (subtree-sum of origin-shifted spatial forces) — two matmuls.
-    This is how contact forces reach the arm dynamics."""
+    This is how contact forces reach the arm dynamics.
+
+    `dofs`: optional static subset — only those rows are computed (the rest
+    of the returned full-length vector is zero), matching substep's sim_dofs
+    reduction."""
     _, subtree_dof, _ = _masks(model)
     n_O = torque + jnp.cross(fk_res.pos, force)        # shift torque to origin
     f_sp = jnp.concatenate([n_O, force], -1)           # [L,6]
+    if dofs is not None:
+        d = np.asarray(dofs, np.int32)
+        S = motion_subspace(model, fk_res, d)          # [k,6]
+        acc = jnp.asarray(subtree_dof[d]) @ f_sp                    # [k,6]
+        return jnp.zeros(model.ndof, f_sp.dtype).at[d].set(jnp.sum(S * acc, -1))
     S = motion_subspace(model, fk_res)                 # [n,6]
-    acc = subtree_dof @ f_sp                           # [n,6]
+    acc = jnp.asarray(subtree_dof) @ f_sp                           # [n,6]
     return jnp.sum(S * acc, -1)
