@@ -236,16 +236,11 @@ def _human_inertial(state: EnvState):
                 inertia_diag=state.human["inertia_diag"])
 
 
-def take_step(spec: SceneSpec, state: EnvState, action: jax.Array,
-              ) -> Tuple[EnvState, con.ContactResult, Any, Any]:
-    """The env.py:85-142 control loop: returns (state', contacts, fk_h, fk_r).
-
-    Contacts/FK are evaluated at the final post-step configuration, matching
-    the reference's pattern of reading getContactPoints/getLinkState after
-    the substep loop.
-    """
+def _prepare_targets(spec: SceneSpec, state: EnvState, action: jax.Array):
+    """Pre-scan control-loop setup (env.py:85-129): clip + integrate the
+    action onto joint targets with limit masking, tremor wobble, motor-array
+    setup.  Shared by the per-env and batched take_step variants."""
     cfg = spec.cfg
-    dt = spec.time_step
     nr, nh = spec.robot.ndof, spec.human.ndof
     arm = np.asarray(spec.arm_dofs, np.int32)
     na = spec.action_robot_len
@@ -299,8 +294,6 @@ def take_step(spec: SceneSpec, state: EnvState, action: jax.Array,
     # --- motor setups (env.py:127-129) ---
     r_kp = jnp.full(nr, cfg.robot_gains, f32)
     r_force = jnp.full(nr, cfg.robot_forces, f32)
-    r_active = jnp.asarray(spec.robot_active)
-    h_active = state.human_active
     h_kp = state.human_motor_kp
     h_force = state.human_motor_force
     if hc is not None:
@@ -308,6 +301,29 @@ def take_step(spec: SceneSpec, state: EnvState, action: jax.Array,
         h_kp = h_kp.at[hc].set(jnp.where(apply, spec.human_gains, h_kp[hc]))
         h_force = h_force.at[hc].set(
             jnp.where(apply, spec.human_forces * state.human["strength"], h_force[hc]))
+    return dict(t_new=t_new, robot_target=robot_target,
+                human_target=human_target, thjp=thjp,
+                r_kp=r_kp, r_force=r_force, h_kp=h_kp, h_force=h_force)
+
+
+def take_step(spec: SceneSpec, state: EnvState, action: jax.Array,
+              ) -> Tuple[EnvState, con.ContactResult, Any, Any]:
+    """The env.py:85-142 control loop: returns (state', contacts, fk_h, fk_r).
+
+    Contacts/FK are evaluated at the final post-step configuration, matching
+    the reference's pattern of reading getContactPoints/getLinkState after
+    the substep loop.
+    """
+    dt = spec.time_step
+    pre = _prepare_targets(spec, state, action)
+    t_new = pre["t_new"]
+    robot_target = pre["robot_target"]
+    human_target = pre["human_target"]
+    thjp = pre["thjp"]
+    r_kp, r_force = pre["r_kp"], pre["r_force"]
+    h_kp, h_force = pre["h_kp"], pre["h_force"]
+    r_active = jnp.asarray(spec.robot_active)
+    h_active = state.human_active
 
     # --- frame_skip physics substeps (env.py:133-137) ---
     # Static FK caching: only descendants of the simulated dofs move during
@@ -392,6 +408,207 @@ def take_step(spec: SceneSpec, state: EnvState, action: jax.Array,
     vel_r = kin.link_velocities(spec.robot, fk_r, rqd)
     contacts = scene_contacts(spec, state, fk_h, fk_r, vel_h, vel_r)
     return state, contacts, (fk_h, fk_r), (vel_h, vel_r)
+
+
+def take_step_batched(spec: SceneSpec, states: EnvState, actions: jax.Array):
+    """Batched take_step: the dynamics substep runs as one fused Pallas TPU
+    kernel with the env batch on the LANE axis (ops/pallas_dynamics.py),
+    eliminating the [B, links, 6, 6]-style padded intermediates that dominate
+    the vmapped path.  FK for contacts, the contact pipeline, and task hooks
+    stay vmapped XLA (they fuse well).  On non-TPU backends this falls back
+    to vmap(take_step) — bit-identical semantics, no interpret-mode cost.
+
+    states/actions have a leading env axis; returns the same structure as
+    vmap(take_step)."""
+    if jax.default_backend() != "tpu":
+        return jax.vmap(lambda s, a: take_step(spec, s, a))(states, actions)
+
+    from ..ops import pallas_dynamics as pdyn
+
+    dt = spec.time_step
+    B = actions.shape[0]
+    pre = jax.vmap(lambda s, a: _prepare_targets(spec, s, a))(states, actions)
+
+    r_sim = tuple(sorted(set(spec.arm_dofs)))
+    h_sim = spec.human_controllable
+    sdr = np.asarray(r_sim, np.int32)
+    r_moving = kin.moving_links(spec.robot, r_sim) if r_sim else np.zeros(0, np.int32)
+    h_moving = kin.moving_links(spec.human, h_sim) if h_sim else np.zeros(0, np.int32)
+
+    fk_r_cache = jax.vmap(lambda s: kin.fk(spec.robot, s.robot_q,
+                                           s.robot_base_pos, s.robot_base_quat))(states)
+    fk_h_cache = jax.vmap(lambda s: kin.fk(spec.human, s.human_q,
+                                           s.human_base_pos, s.human_base_quat,
+                                           origin_xyz=s.human["origin_xyz"]))(states)
+
+    def anchor_arrays(fk_cache, base_pos, base_quat, st):
+        ps, qs = [], []
+        for a in st.anchors:
+            ps.append((base_pos if a < 0 else fk_cache.pos[:, a]).T)
+            qs.append((base_quat if a < 0 else fk_cache.quat[:, a]).T)
+        return jnp.concatenate(ps, 0), jnp.concatenate(qs, 0)
+
+    # ---- hoisted batch-last kernel inputs (constant across substeps) ----
+    str_r = pdyn.get_structure(spec.robot, r_sim)
+    anc_r = anchor_arrays(fk_r_cache, states.robot_base_pos,
+                          states.robot_base_quat, str_r)
+    nsr = len(sdr)
+    tgt_r = pre["robot_target"][:, sdr].T
+    kp_r = pre["r_kp"][:, sdr].T
+    cap_r = pre["r_force"][:, sdr].T
+    ones_r = jnp.ones((nsr, B), f32)
+    act_r = jnp.broadcast_to(
+        jnp.asarray(spec.robot_active, f32)[sdr][:, None], (nsr, B))
+    rl, ru = spec.robot.dof_limits()
+    lo_r = jnp.broadcast_to(jnp.asarray(rl)[sdr][:, None], (nsr, B))
+    hi_r = jnp.broadcast_to(jnp.asarray(ru)[sdr][:, None], (nsr, B))
+
+    if h_sim:
+        sdh = np.asarray(h_sim, np.int32)
+        nsh = len(sdh)
+        str_h = pdyn.get_structure(spec.human, h_sim)
+        anc_h = anchor_arrays(fk_h_cache, states.human_base_pos,
+                              states.human_base_quat, str_h)
+        tgt_h = pre["human_target"][:, sdh].T
+        kp_h = pre["h_kp"][:, sdh].T
+        cap_h = pre["h_force"][:, sdh].T
+        ones_h = jnp.ones((nsh, B), f32)
+        act_h = states.human_active[:, sdh].T.astype(f32)
+        lo_h = states.human["lower"][:, sdh].T
+        hi_h = states.human["upper"][:, sdh].T
+        hrel = str_h.rel
+        T3 = lambda x: jnp.transpose(x[:, hrel], (1, 2, 0)).reshape(len(hrel) * 3, B)
+        ox_h = T3(states.human["origin_xyz"])
+        mass_h = states.human["mass"][:, hrel].T
+        com_h = T3(states.human["com"])
+        idiag_h = T3(states.human["inertia_diag"])
+
+    Lh = spec.n_human_links
+
+    def substep(carry, _):
+        q_r, qd_r, q_h, qd_h, pvr, pvl, aux = carry
+        rq_full = states.robot_q.at[:, sdr].set(q_r.T)
+        hq_full = states.human_q.at[:, sdh].set(q_h.T) if h_sim else states.human_q
+        rqd_full = jnp.zeros_like(states.robot_qd).at[:, sdr].set(qd_r.T)
+        hqd_full = (jnp.zeros_like(states.human_qd).at[:, sdh].set(qd_h.T)
+                    if h_sim else jnp.zeros_like(states.human_qd))
+
+        fk_r = jax.vmap(lambda q, bp, bq, cp, cq: kin.fk_partial(
+            spec.robot, q, bp, bq, kin.FK(cp, cq), r_moving))(
+                rq_full, states.robot_base_pos, states.robot_base_quat,
+                fk_r_cache.pos, fk_r_cache.quat)
+        fk_h = jax.vmap(lambda q, bp, bq, cp, cq, ox: kin.fk_partial(
+            spec.human, q, bp, bq, kin.FK(cp, cq), h_moving, origin_xyz=ox))(
+                hq_full, states.human_base_pos, states.human_base_quat,
+                fk_h_cache.pos, fk_h_cache.quat, states.human["origin_xyz"])
+
+        vel_r = jax.vmap(lambda f_p, f_q, qd: kin.link_velocities(
+            spec.robot, kin.FK(f_p, f_q), qd, dofs=r_sim))(fk_r.pos, fk_r.quat, rqd_full)
+        vel_h = jax.vmap(lambda f_p, f_q, qd: kin.link_velocities(
+            spec.human, kin.FK(f_p, f_q), qd, dofs=h_sim))(fk_h.pos, fk_h.quat, hqd_full)
+
+        c = jax.vmap(lambda hp, hq_, rp, rq_, hv, hw, rv, rw, p0, p1, rad:
+                     con.evaluate(spec.geoms, spec.pairs,
+                                  jnp.concatenate([hp, rp], 0),
+                                  jnp.concatenate([hq_, rq_], 0),
+                                  jnp.concatenate([hv, rv], 0),
+                                  jnp.concatenate([hw, rw], 0),
+                                  p0=p0, p1=p1, radius=rad))(
+            fk_h.pos, fk_h.quat, fk_r.pos, fk_r.quat,
+            vel_h.v, vel_h.w, vel_r.v, vel_r.w,
+            states.geom_p0, states.geom_p1, states.geom_radius)
+
+        tau_r = jax.vmap(lambda f_p, f_q, lf, lt: kin.link_wrenches_to_joint_torques(
+            spec.robot, kin.FK(f_p, f_q), lf, lt, dofs=r_sim))(
+                fk_r.pos, fk_r.quat, c.link_force[:, Lh:], c.link_torque[:, Lh:])
+        q_r2, qd_r2 = pdyn.substep_batched(
+            spec.robot, r_sim, dt, spec.gravity_robot,
+            anc_r[0], anc_r[1], q_r, qd_r, tau_r[:, sdr].T,
+            tgt_r, kp_r, ones_r, cap_r, act_r, lo_r, hi_r)
+
+        if h_sim:
+            tau_h = jax.vmap(lambda f_p, f_q, lf, lt: kin.link_wrenches_to_joint_torques(
+                spec.human, kin.FK(f_p, f_q), lf, lt, dofs=h_sim))(
+                    fk_h.pos, fk_h.quat, c.link_force[:, :Lh], c.link_torque[:, :Lh])
+            q_h2, qd_h2 = pdyn.substep_batched(
+                spec.human, h_sim, dt, spec.gravity_human,
+                anc_h[0], anc_h[1], q_h, qd_h, tau_h[:, sdh].T,
+                tgt_h, kp_h, ones_h, cap_h, act_h, lo_h, hi_h,
+                origin_xyz=ox_h, mass=mass_h, com=com_h, idiag=idiag_h)
+        else:
+            q_h2, qd_h2 = q_h, qd_h
+
+        # learned pose-dependent limits (env.py:135-136)
+        if spec.human_control and h_sim:
+            hq2_full = states.human_q.at[:, sdh].set(q_h2.T)
+            hqd2_full = jnp.zeros_like(states.human_qd).at[:, sdh].set(qd_h2.T)
+            if 3 in h_sim:
+                hq2_full, hqd2_full, pvr = jax.vmap(
+                    lambda q, qd, pv: arm_limits.enforce_realistic_limits(
+                        q, qd, pv, (3, 4, 5, 6), right=True))(hq2_full, hqd2_full, pvr)
+            if 13 in h_sim:
+                hq2_full, hqd2_full, pvl = jax.vmap(
+                    lambda q, qd, pv: arm_limits.enforce_realistic_limits(
+                        q, qd, pv, (13, 14, 15, 16), right=False))(hq2_full, hqd2_full, pvl)
+            q_h2 = hq2_full[:, sdh].T
+            qd_h2 = hqd2_full[:, sdh].T
+
+        if spec.substep_hook is not None:
+            aux = jax.vmap(lambda s, a, fhp, fhq, frp, frq: spec.substep_hook(
+                spec, s, a, kin.FK(fhp, fhq), kin.FK(frp, frq), dt))(
+                    states, aux, fk_h.pos, fk_h.quat, fk_r.pos, fk_r.quat)
+        return (q_r2, qd_r2, q_h2, qd_h2, pvr, pvl, aux), None
+
+    q_r0 = states.robot_q[:, sdr].T
+    qd_r0 = states.robot_qd[:, sdr].T
+    if h_sim:
+        q_h0 = states.human_q[:, np.asarray(h_sim)].T
+        qd_h0 = states.human_qd[:, np.asarray(h_sim)].T
+    else:
+        q_h0 = jnp.zeros((0, B), f32)
+        qd_h0 = jnp.zeros((0, B), f32)
+    carry0 = (q_r0, qd_r0, q_h0, qd_h0,
+              states.prev_valid_right, states.prev_valid_left, states.aux)
+    (q_r, qd_r, q_h, qd_h, pvr, pvl, aux), _ = jax.lax.scan(
+        substep, carry0, None, length=spec.frame_skip)
+
+    rq = states.robot_q.at[:, sdr].set(q_r.T)
+    rqd = jnp.zeros_like(states.robot_qd).at[:, sdr].set(qd_r.T)
+    if h_sim:
+        hq = states.human_q.at[:, np.asarray(h_sim)].set(q_h.T)
+        hqd = jnp.zeros_like(states.human_qd).at[:, np.asarray(h_sim)].set(qd_h.T)
+    else:
+        hq, hqd = states.human_q, jnp.zeros_like(states.human_qd)
+
+    states = states.replace(
+        t=pre["t_new"], robot_q=rq, robot_qd=rqd, human_q=hq, human_qd=hqd,
+        prev_valid_right=pvr, prev_valid_left=pvl,
+        target_human_joint_positions=pre["thjp"], aux=aux)
+
+    # final-configuration readbacks (vmapped, partial-FK against the caches)
+    fk_r = jax.vmap(lambda q, bp, bq, cp, cq: kin.fk_partial(
+        spec.robot, q, bp, bq, kin.FK(cp, cq), r_moving))(
+            rq, states.robot_base_pos, states.robot_base_quat,
+            fk_r_cache.pos, fk_r_cache.quat)
+    fk_h = jax.vmap(lambda q, bp, bq, cp, cq, ox: kin.fk_partial(
+        spec.human, q, bp, bq, kin.FK(cp, cq), h_moving, origin_xyz=ox))(
+            hq, states.human_base_pos, states.human_base_quat,
+            fk_h_cache.pos, fk_h_cache.quat, states.human["origin_xyz"])
+    vel_h = jax.vmap(lambda f_p, f_q, qd: kin.link_velocities(
+        spec.human, kin.FK(f_p, f_q), qd))(fk_h.pos, fk_h.quat, hqd)
+    vel_r = jax.vmap(lambda f_p, f_q, qd: kin.link_velocities(
+        spec.robot, kin.FK(f_p, f_q), qd))(fk_r.pos, fk_r.quat, rqd)
+    contacts = jax.vmap(lambda s, fhp, fhq, frp, frq, vh, vr, wh, wr:
+                        con.evaluate(spec.geoms, spec.pairs,
+                                     jnp.concatenate([fhp, frp], 0),
+                                     jnp.concatenate([fhq, frq], 0),
+                                     jnp.concatenate([vh, vr], 0),
+                                     jnp.concatenate([wh, wr], 0),
+                                     p0=s.geom_p0, p1=s.geom_p1,
+                                     radius=s.geom_radius))(
+        states, fk_h.pos, fk_h.quat, fk_r.pos, fk_r.quat,
+        vel_h.v, vel_r.v, vel_h.w, vel_r.w)
+    return states, contacts, (fk_h, fk_r), (vel_h, vel_r)
 
 
 # ------------------------------------------------------------ preference reward

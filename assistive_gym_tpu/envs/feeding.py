@@ -250,9 +250,21 @@ class FeedingTask:
 
     # ------------------------------------------------------------- step
     def step(self, state: EnvState, action: jax.Array):
+        state, contacts, (fk_h, fk_r), (vel_h, vel_r) = base.take_step(
+            self.spec, state, action)
+        return self._finish(state, action, contacts, fk_h, fk_r, vel_h, vel_r)
+
+    def step_batched(self, states: EnvState, actions: jax.Array):
+        """Batched step: fused Pallas dynamics (base.take_step_batched) +
+        vmapped reward/obs logic.  Semantically equals jax.vmap(self.step)."""
+        states, contacts, (fk_h, fk_r), (vel_h, vel_r) = base.take_step_batched(
+            self.spec, states, actions)
+        return jax.vmap(self._finish)(states, actions, contacts, fk_h, fk_r,
+                                      vel_h, vel_r)
+
+    def _finish(self, state, action, contacts, fk_h, fk_r, vel_h, vel_r):
         spec = self.spec
         cfg = spec.cfg
-        state, contacts, (fk_h, fk_r), (vel_h, vel_r) = base.take_step(spec, state, action)
 
         target_pos = base.transform_point_on_link(fk_h, 23, state.human["mouth_pos"])
 

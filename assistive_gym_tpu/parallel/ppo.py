@@ -106,6 +106,18 @@ def make_train_step(task, cfg: PPOConfig, mesh: Mesh = None):
     net = ActorCritic(task.spec.action_len, cfg.hidden)
     tx = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm),
                      optax.adam(cfg.lr))
+    # Batched env step: the fused Pallas dynamics path when the task provides
+    # it.  Under a multi-device mesh the batched step is shard_mapped over
+    # the env axis (each device runs the kernel on its local shard — pallas
+    # custom calls can't be partitioned by pjit itself); zero cross-chip
+    # communication, matching the rollout design of SURVEY.md §2.3.
+    if hasattr(task, "step_batched"):
+        if mesh is None or mesh.size == 1:
+            env_step = task.step_batched
+        else:
+            env_step = _shard_mapped_step(task, cfg, mesh)
+    else:
+        env_step = jax.vmap(task.step)
 
     def rollout(ts: TrainState, env_state, obs0):
         def body(carry, _):
@@ -115,7 +127,7 @@ def make_train_step(task, cfg: PPOConfig, mesh: Mesh = None):
             noise = jax.random.normal(k_act, mean.shape, mean.dtype)
             action = mean + noise * jnp.exp(log_std)
             logp = _gaussian_logp(mean, log_std, action)
-            env_state, obs_next, reward, done, info = jax.vmap(task.step)(env_state, action)
+            env_state, obs_next, reward, done, info = env_step(env_state, action)
             out = dict(obs=obs, action=action, logp=logp, value=value,
                        reward=reward, success=info["task_success"])
             return (env_state, obs_next, key), out
@@ -210,6 +222,26 @@ def make_train_step(task, cfg: PPOConfig, mesh: Mesh = None):
             out_shardings=(repl, state_shardings, repl),
         )
     return jax.jit(train_step)
+
+
+def _shard_mapped_step(task, cfg, mesh: Mesh):
+    """task.step_batched wrapped in shard_map over the 'env' mesh axis: each
+    device steps its local env shard with the fused kernel; no collectives."""
+    from jax.experimental.shard_map import shard_map
+
+    env_spec = P("env")
+    state_struct = _state_structure(task)
+    state_specs = jax.tree.map(lambda _: env_spec, state_struct)
+
+    # output structure: (state, obs, reward, done, info) — probed via
+    # eval_shape (the state template batch is 8; shapes only set the pytree)
+    act_struct = jax.ShapeDtypeStruct((8, task.spec.action_len), jnp.float32)
+    out_struct = jax.eval_shape(jax.vmap(task.step), state_struct, act_struct)
+    out_specs = jax.tree.map(lambda _: env_spec, out_struct)
+
+    return shard_map(task.step_batched, mesh=mesh,
+                     in_specs=(state_specs, env_spec),
+                     out_specs=out_specs, check_rep=False)
 
 
 def _env_state_shardings(task, sharding):

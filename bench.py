@@ -34,7 +34,11 @@ def main():
 
     keys = jax.random.split(jax.random.PRNGKey(0), BATCH)
     reset = jax.jit(jax.vmap(task.reset))
-    step = jax.jit(jax.vmap(task.step))
+    # batched step: fused Pallas dynamics path when available
+    if hasattr(task, "step_batched"):
+        step = jax.jit(task.step_batched)
+    else:
+        step = jax.jit(jax.vmap(task.step))
     state, obs = reset(keys)
     jax.block_until_ready(obs)
 

@@ -27,7 +27,26 @@ args = parser.parse_args()
 
 env = GymEnv(load(args.env))
 
-traj = {"robot_q": [], "human_q": [], "reward": []}
+
+def world_segments(task, state):
+    """World-space capsule segments [G,3]x2 + radii for offline rendering."""
+    import jax
+    from assistive_gym_tpu.envs import base as eb
+    from assistive_gym_tpu.physics import contact as con
+
+    spec = task.spec
+    fk_h, fk_r = jax.jit(lambda s: eb.scene_fk(spec, s))(state)
+    import jax.numpy as jnp
+    wg = con.world_geoms(spec.geoms,
+                         jnp.concatenate([fk_h.pos, fk_r.pos], 0),
+                         jnp.concatenate([fk_h.quat, fk_r.quat], 0),
+                         p0=state.geom_p0, p1=state.geom_p1)
+    return (np.asarray(wg.w0), np.asarray(wg.w1),
+            np.asarray(state.geom_radius))
+
+
+traj = {"seg_a": [], "seg_b": [], "reward": []}
+radius = None
 for ep in range(args.episodes):
     obs = env.reset()
     done = False
@@ -38,8 +57,9 @@ for ep in range(args.episodes):
         steps += 1
         if args.dump:
             state = env.render()
-            traj["robot_q"].append(np.asarray(state.robot_q))
-            traj["human_q"].append(np.asarray(state.human_q))
+            a, b, radius = world_segments(env.task, state)
+            traj["seg_a"].append(a)
+            traj["seg_b"].append(b)
             traj["reward"].append(reward)
         if steps % 50 == 0:
             print(f"  step {steps}: reward={reward:.3f} "
@@ -48,5 +68,9 @@ for ep in range(args.episodes):
     print(f"episode {ep}: return={ep_reward:.2f} steps={steps}")
 
 if args.dump:
-    np.savez(args.dump, **{k: np.asarray(v) for k, v in traj.items()})
-    print(f"trajectory written to {args.dump}")
+    np.savez(args.dump, seg_a=np.asarray(traj["seg_a"]),
+             seg_b=np.asarray(traj["seg_b"]),
+             radius=radius, reward=np.asarray(traj["reward"]),
+             env=args.env)
+    print(f"trajectory written to {args.dump} "
+          f"(render with tools/render_traj.py)")
