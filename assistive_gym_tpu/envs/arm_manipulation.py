@@ -83,6 +83,7 @@ def build(robot_name: str, human_control: bool) -> "ArmManipulationTask":
         pairs.append(dict(a=hgi, b=bed_geom, kind=2, group=G_BED,
                           stiffness=4000.0, damping=60.0, friction=0.5))
     pt = con.PairTable.build(pairs, ngroups=4)
+    pt = con.tuned_pairs(gs, pt, np.concatenate([human_model.mass, robot.mass]), 0.02)
 
     # both-arm dof list (duplicated for single-arm robots, env.py:97)
     both_links = tuple(info.arm_left) + tuple(info.arm_right)

@@ -485,22 +485,36 @@ def take_step_batched(spec: SceneSpec, states: EnvState, actions: jax.Array):
 
     Lh = spec.n_human_links
 
+    r_rel = str_r.rel
+    Rr = len(r_rel)
+
+    def _unmarshal(bl, rel, ncomp):
+        """[ncomp*R, B] batch-last kernel FK -> [B, R, ncomp] batch-first."""
+        return jnp.transpose(bl.reshape(len(rel), ncomp, B), (2, 0, 1))
+
     def substep(carry, _):
         q_r, qd_r, q_h, qd_h, pvr, pvl, aux = carry
-        rq_full = states.robot_q.at[:, sdr].set(q_r.T)
-        hq_full = states.human_q.at[:, sdh].set(q_h.T) if h_sim else states.human_q
         rqd_full = jnp.zeros_like(states.robot_qd).at[:, sdr].set(qd_r.T)
         hqd_full = (jnp.zeros_like(states.human_qd).at[:, sdh].set(qd_h.T)
                     if h_sim else jnp.zeros_like(states.human_qd))
 
-        fk_r = jax.vmap(lambda q, bp, bq, cp, cq: kin.fk_partial(
-            spec.robot, q, bp, bq, kin.FK(cp, cq), r_moving))(
-                rq_full, states.robot_base_pos, states.robot_base_quat,
-                fk_r_cache.pos, fk_r_cache.quat)
-        fk_h = jax.vmap(lambda q, bp, bq, cp, cq, ox: kin.fk_partial(
-            spec.human, q, bp, bq, kin.FK(cp, cq), h_moving, origin_xyz=ox))(
-                hq_full, states.human_base_pos, states.human_base_quat,
-                fk_h_cache.pos, fk_h_cache.quat, states.human["origin_xyz"])
+        # FK of the moving chains in the kernel's batch-last layout; the
+        # same poses feed both the contact pipeline (scattered into the
+        # batch-first caches) and the dynamics kernel (directly).
+        pos_r_bl, quat_r_bl = pdyn.fk_batched(spec.robot, r_sim,
+                                              anc_r[0], anc_r[1], q_r)
+        fk_r = kin.FK(
+            fk_r_cache.pos.at[:, r_rel].set(_unmarshal(pos_r_bl, r_rel, 3)),
+            fk_r_cache.quat.at[:, r_rel].set(_unmarshal(quat_r_bl, r_rel, 4)))
+        if h_sim:
+            pos_h_bl, quat_h_bl = pdyn.fk_batched(spec.human, h_sim,
+                                                  anc_h[0], anc_h[1], q_h,
+                                                  origin_xyz=ox_h)
+            fk_h = kin.FK(
+                fk_h_cache.pos.at[:, hrel].set(_unmarshal(pos_h_bl, hrel, 3)),
+                fk_h_cache.quat.at[:, hrel].set(_unmarshal(quat_h_bl, hrel, 4)))
+        else:
+            fk_h = fk_h_cache
 
         vel_r = jax.vmap(lambda f_p, f_q, qd: kin.link_velocities(
             spec.robot, kin.FK(f_p, f_q), qd, dofs=r_sim))(fk_r.pos, fk_r.quat, rqd_full)
@@ -524,7 +538,8 @@ def take_step_batched(spec: SceneSpec, states: EnvState, actions: jax.Array):
         q_r2, qd_r2 = pdyn.substep_batched(
             spec.robot, r_sim, dt, spec.gravity_robot,
             anc_r[0], anc_r[1], q_r, qd_r, tau_r[:, sdr].T,
-            tgt_r, kp_r, ones_r, cap_r, act_r, lo_r, hi_r)
+            tgt_r, kp_r, ones_r, cap_r, act_r, lo_r, hi_r,
+            pos_rel=pos_r_bl, quat_rel=quat_r_bl)
 
         if h_sim:
             tau_h = jax.vmap(lambda f_p, f_q, lf, lt: kin.link_wrenches_to_joint_torques(
@@ -534,7 +549,8 @@ def take_step_batched(spec: SceneSpec, states: EnvState, actions: jax.Array):
                 spec.human, h_sim, dt, spec.gravity_human,
                 anc_h[0], anc_h[1], q_h, qd_h, tau_h[:, sdh].T,
                 tgt_h, kp_h, ones_h, cap_h, act_h, lo_h, hi_h,
-                origin_xyz=ox_h, mass=mass_h, com=com_h, idiag=idiag_h)
+                mass=mass_h, com=com_h, idiag=idiag_h,
+                pos_rel=pos_h_bl, quat_rel=quat_h_bl)
         else:
             q_h2, qd_h2 = q_h, qd_h
 

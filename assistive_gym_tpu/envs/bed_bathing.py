@@ -107,6 +107,7 @@ def build(robot_name: str, human_control: bool) -> "BedBathingTask":
                           friction=1.0))           # bed friction=5 then 0.3
         pad_pair_mask.append(False)
     pt = con.PairTable.build(pairs, ngroups=3)
+    pt = con.tuned_pairs(gs, pt, np.concatenate([human_model.mass, robot.mass]), 0.02)
 
     robot_active = np.zeros(robot.ndof, bool)
     arm_dofs = tuple(int(robot.dof_index[l]) for l in info.arm_left)

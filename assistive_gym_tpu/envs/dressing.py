@@ -61,6 +61,7 @@ def build(robot_name: str, human_control: bool) -> "DressingTask":
         for hgi in range(n_human_geoms):
             pairs.append(dict(a=rgi, b=hgi, kind=0, group=GROUP_ROBOT_HUMAN))
     pt = con.PairTable.build(pairs, ngroups=1)
+    pt = con.tuned_pairs(gs, pt, np.concatenate([human_model.mass, robot.mass]), 0.01)
 
     robot_active = np.zeros(robot.ndof, bool)
     arm_dofs = tuple(int(robot.dof_index[l]) for l in info.arm_left)

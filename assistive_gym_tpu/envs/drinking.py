@@ -67,6 +67,7 @@ def build(robot_name: str, human_control: bool) -> "DrinkingTask":
         for hgi in human_geom_ids:
             pairs.append(dict(a=rgi, b=hgi, kind=0, group=GROUP_ROBOT_HUMAN))
     pt = con.PairTable.build(pairs, ngroups=2)
+    pt = con.tuned_pairs(gs, pt, np.concatenate([human_model.mass, robot.mass]), 0.004)
 
     robot_active = np.zeros(robot.ndof, bool)
     arm_dofs = tuple(int(robot.dof_index[l]) for l in info.arm_right)

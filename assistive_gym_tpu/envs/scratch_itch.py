@@ -69,6 +69,7 @@ def build(robot_name: str, human_control: bool) -> "ScratchItchTask":
                               stiffness=3000.0, damping=40.0, friction=0.5))
             at_target_mask.append(False)
     pt = con.PairTable.build(pairs, ngroups=2)
+    pt = con.tuned_pairs(gs, pt, np.concatenate([human_model.mass, robot.mass]), 0.02)
 
     robot_active = np.zeros(robot.ndof, bool)
     arm_dofs = tuple(int(robot.dof_index[l]) for l in info.arm_left)

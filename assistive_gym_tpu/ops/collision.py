@@ -161,6 +161,10 @@ def contact_force(dist, normal, rel_vel, stiffness, damping, friction,
     in_contact = depth > 0.0
     v_n = jnp.sum(rel_vel * normal, -1)          # approach rate of A (>0 separating)
     f_n = jnp.maximum(stiffness * depth - damping * v_n, 0.0) * in_contact
+    # absolute force cap: the damping term grows with approach speed and can
+    # pump energy under explicit integration (Bullet's impulse solver clamps
+    # similarly); 500 N is far above any force the rewards read (O(1-50 N))
+    f_n = jnp.minimum(f_n, 500.0)
     v_t = rel_vel - v_n[..., None] * normal
     v_t_norm = jnp.linalg.norm(v_t, axis=-1)
     f_t_mag = jnp.minimum(friction * f_n, 10.0 * f_n * 1.0)  # Coulomb cap

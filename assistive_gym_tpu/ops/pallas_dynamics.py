@@ -178,11 +178,63 @@ def _quat_mul(q1, q2):
             w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2]
 
 
+def _fk_unrolled(st: _Structure, q, anc_pos_a, anc_quat_a, ox_a):
+    """Unrolled FK over the moving subtrees (shared by both kernels).
+    Returns (pos, quat): lists of component lists per rel link."""
+    R = st.R
+    pos = [None] * R
+    quat = [None] * R
+    for l in range(R):
+        ps = st.parent_slot[l]
+        if ps >= 0:
+            pp, pq = pos[ps], quat[ps]
+        else:
+            a = st.anchor_slot[l]
+            pp = [anc_pos_a[3 * a + c] for c in range(3)]
+            pq = [anc_quat_a[4 * a + c] for c in range(4)]
+        if ox_a is not None:
+            ox = [ox_a[3 * l + c] for c in range(3)]
+        else:
+            ox = list(st.fk_origin_xyz[l])
+        jp = _add3(pp, _quat_rotate(pq, ox))
+        jq = _quat_mul(pq, list(st.fk_origin_quat[l]))
+        k = st.fk_dof_slot[l]
+        if k >= 0 and st.fk_jtype[l] == JOINT_REVOLUTE:
+            half = 0.5 * q[k]
+            s, c = jnp.sin(half), jnp.cos(half)
+            ax = st.fk_axis[l]
+            jq = _quat_mul(jq, [ax[0] * s, ax[1] * s, ax[2] * s, c])
+        elif k >= 0 and st.fk_jtype[l] == JOINT_PRISMATIC:
+            jp = _add3(jp, _scale3(q[k], _quat_rotate(jq, list(st.fk_axis[l]))))
+        pos[l], quat[l] = jp, jq
+    return pos, quat
+
+
+def _build_fk_kernel(st: _Structure, dynamic_origin: bool, n_in: int):
+    """FK-only kernel: (anc_pos [3A,B], anc_quat [4A,B], q [ns,B],
+    [origin_xyz [3R,B]]) -> (pos [3R,B], quat [4R,B])."""
+    ns, R = st.ns, st.R
+
+    def kernel(*refs):
+        ins = refs[:n_in]
+        pos_ref, quat_ref = refs[n_in], refs[n_in + 1]
+        anc_pos_a, anc_quat_a, q_a = ins[0][:], ins[1][:], ins[2][:]
+        ox_a = ins[3][:] if dynamic_origin else None
+        q = [q_a[i] for i in range(ns)]
+        pos, quat = _fk_unrolled(st, q, anc_pos_a, anc_quat_a, ox_a)
+        pos_ref[:] = jnp.stack([pos[l][c] for l in range(R) for c in range(3)], 0)
+        quat_ref[:] = jnp.stack([quat[l][c] for l in range(R) for c in range(4)], 0)
+
+    return kernel
+
+
 def _build_kernel(st: _Structure, dt: float, gravity, dynamic_inertial: bool,
-                  dynamic_origin: bool, n_in: int):
+                  dynamic_origin: bool, n_in: int, fk_inside: bool = True):
     """Generate the kernel body. Ref layout (all [rows, B_blk] f32):
       0 anc_pos  [3A, B]  world poses of the static parents of the moving
       1 anc_quat [4A, B]  subtrees (constant across the whole substep loop)
+                          — OR, when fk_inside=False, precomputed rel-link
+                          poses pos [3R,B] / quat [4R,B] from the FK kernel
       2 q      [ns, B]
       3 qd     [ns, B]
       4 tau    [ns, B]
@@ -193,7 +245,7 @@ def _build_kernel(st: _Structure, dt: float, gravity, dynamic_inertial: bool,
       9 act    [ns, B]   1.0 = dof simulated & free, 0.0 = frozen
      10 lo     [ns, B]
      11 hi     [ns, B]
-     [+ origin_xyz [3R, B]] when dynamic_origin (per-env human dims)
+     [+ origin_xyz [3R, B]] when dynamic_origin and fk_inside
      [+ mass [R,B], com [3R,B], idiag [3R,B]] when dynamic_inertial
      outputs: q' [ns,B], qd' [ns,B]
     """
@@ -203,15 +255,17 @@ def _build_kernel(st: _Structure, dt: float, gravity, dynamic_inertial: bool,
     def kernel(*refs):
         ins = refs[:n_in]
         qout_ref, qdout_ref = refs[n_in], refs[n_in + 1]
-        (anc_pos_ref, anc_quat_ref, q_ref, qd_ref, tau_ref, tgt_ref, kp_ref,
+        (in0_ref, in1_ref, q_ref, qd_ref, tau_ref, tgt_ref, kp_ref,
          kd_ref, cap_ref, act_ref, lo_ref, hi_ref) = ins[:12]
         nxt = 12
-        if dynamic_origin:
+        if dynamic_origin and fk_inside:
             ox_a = ins[nxt][:]
             nxt += 1
+        else:
+            ox_a = None
         if dynamic_inertial:
             mass_a, com_a, idiag_a = ins[nxt][:], ins[nxt + 1][:], ins[nxt + 2][:]
-        anc_pos_a, anc_quat_a = anc_pos_ref[:], anc_quat_ref[:]
+        in0_a, in1_a = in0_ref[:], in1_ref[:]
         q_a, qd_a = q_ref[:], qd_ref[:]
         tau_a, tgt_a = tau_ref[:], tgt_ref[:]
         kp_a, kd_a, cap_a, act_a = kp_ref[:], kd_ref[:], cap_ref[:], act_ref[:]
@@ -220,32 +274,11 @@ def _build_kernel(st: _Structure, dt: float, gravity, dynamic_inertial: bool,
         q = [q_a[i] for i in range(ns)]
         qd = [qd_a[i] for i in range(ns)]
 
-        # ---- in-kernel FK over the moving subtrees ----
-        pos = [None] * R
-        quat = [None] * R
-        for l in range(R):
-            ps = st.parent_slot[l]
-            if ps >= 0:
-                pp, pq = pos[ps], quat[ps]
-            else:
-                a = st.anchor_slot[l]
-                pp = [anc_pos_a[3 * a + c] for c in range(3)]
-                pq = [anc_quat_a[4 * a + c] for c in range(4)]
-            if dynamic_origin:
-                ox = [ox_a[3 * l + c] for c in range(3)]
-            else:
-                ox = list(st.fk_origin_xyz[l])
-            jp = _add3(pp, _quat_rotate(pq, ox))
-            jq = _quat_mul(pq, list(st.fk_origin_quat[l]))
-            k = st.fk_dof_slot[l]
-            if k >= 0 and st.fk_jtype[l] == JOINT_REVOLUTE:
-                half = 0.5 * q[k]
-                s, c = jnp.sin(half), jnp.cos(half)
-                ax = st.fk_axis[l]
-                jq = _quat_mul(jq, [ax[0] * s, ax[1] * s, ax[2] * s, c])
-            elif k >= 0 and st.fk_jtype[l] == JOINT_PRISMATIC:
-                jp = _add3(jp, _scale3(q[k], _quat_rotate(jq, list(st.fk_axis[l]))))
-            pos[l], quat[l] = jp, jq
+        if fk_inside:
+            pos, quat = _fk_unrolled(st, q, in0_a, in1_a, ox_a)
+        else:
+            pos = [[in0_a[3 * l + c] for c in range(3)] for l in range(R)]
+            quat = [[in1_a[4 * l + c] for c in range(4)] for l in range(R)]
 
         # ---- per rel link: structured spatial inertia about the origin ----
         m_l, h_l, I_l = [], [], []
@@ -414,6 +447,8 @@ def _build_kernel(st: _Structure, dt: float, gravity, dynamic_inertial: bool,
             v_err = kp_a[k] * (tgt_a[k] - q[k]) / dt - kd_a[k] * qd1
             lam = jnp.clip(m_app * v_err, -cap_a[k] * dt, cap_a[k] * dt)
             qd1 = qd1 + act[k] * lam / m_app
+            # velocity clamp (matches dynamics.substep stability guard)
+            qd1 = jnp.clip(qd1, -12.0, 12.0)
             q1 = q[k] + dt * qd1 * act[k]
             limited = hi_a[k] >= lo_a[k]
             q_cl = jnp.clip(q1, lo_a[k], hi_a[k])
@@ -429,20 +464,8 @@ def _build_kernel(st: _Structure, dt: float, gravity, dynamic_inertial: bool,
     return kernel
 
 
-@functools.lru_cache(maxsize=None)
-def _get_substep(model_key, sim_dofs, dt, gravity, dynamic_inertial,
-                 dynamic_origin, block_b, interpret):
-    st = _structure_cached(model_key, sim_dofs)
-    ns, R, A = st.ns, st.R, st.A
-    n_in = 12 + (1 if dynamic_origin else 0) + (3 if dynamic_inertial else 0)
-    kernel = _build_kernel(st, dt, gravity, dynamic_inertial, dynamic_origin,
-                           n_in)
-
-    rows = [3 * A, 4 * A] + [ns] * 10
-    if dynamic_origin:
-        rows += [3 * R]
-    if dynamic_inertial:
-        rows += [R, 3 * R, 3 * R]
+def _pallas_apply(kernel, rows, out_rows, block_b, interpret):
+    """Wrap a row-major batch-last kernel in a padded, grid-blocked call."""
 
     def apply(*args):
         B = args[2].shape[-1]
@@ -453,19 +476,59 @@ def _get_substep(model_key, sim_dofs, dt, gravity, dynamic_inertial,
         in_specs = [pl.BlockSpec((r, block_b), lambda i: (0, i),
                                  memory_space=pltpu.VMEM)
                     for r in rows]
-        out_specs = [pl.BlockSpec((ns, block_b), lambda i: (0, i),
-                                  memory_space=pltpu.VMEM)] * 2
-        q_new, qd_new = pl.pallas_call(
+        out_specs = [pl.BlockSpec((r, block_b), lambda i: (0, i),
+                                  memory_space=pltpu.VMEM) for r in out_rows]
+        outs = pl.pallas_call(
             kernel,
             grid=(nb,),
             in_specs=in_specs,
             out_specs=out_specs,
-            out_shape=[jax.ShapeDtypeStruct((ns, Bp), f32)] * 2,
+            out_shape=[jax.ShapeDtypeStruct((r, Bp), f32) for r in out_rows],
             interpret=interpret,
         )(*args)
-        return q_new[:, :B], qd_new[:, :B]
+        return tuple(o[:, :B] for o in outs)
 
-    return jax.jit(apply), st
+    return jax.jit(apply)
+
+
+@functools.lru_cache(maxsize=None)
+def _get_substep(model_key, sim_dofs, dt, gravity, dynamic_inertial,
+                 dynamic_origin, block_b, interpret, fk_inside=True):
+    st = _structure_cached(model_key, sim_dofs)
+    ns, R, A = st.ns, st.R, st.A
+    n_in = (12 + (1 if (dynamic_origin and fk_inside) else 0)
+            + (3 if dynamic_inertial else 0))
+    kernel = _build_kernel(st, dt, gravity, dynamic_inertial, dynamic_origin,
+                           n_in, fk_inside=fk_inside)
+
+    rows = ([3 * A, 4 * A] if fk_inside else [3 * R, 4 * R]) + [ns] * 10
+    if dynamic_origin and fk_inside:
+        rows += [3 * R]
+    if dynamic_inertial:
+        rows += [R, 3 * R, 3 * R]
+    return _pallas_apply(kernel, rows, [ns, ns], block_b, interpret), st
+
+
+@functools.lru_cache(maxsize=None)
+def _get_fk(model_key, sim_dofs, dynamic_origin, block_b, interpret):
+    st = _structure_cached(model_key, sim_dofs)
+    ns, R, A = st.ns, st.R, st.A
+    n_in = 3 + (1 if dynamic_origin else 0)
+    kernel = _build_fk_kernel(st, dynamic_origin, n_in)
+    rows = [3 * A, 4 * A, ns] + ([3 * R] if dynamic_origin else [])
+    return _pallas_apply(kernel, rows, [3 * R, 4 * R], block_b, interpret), st
+
+
+def fk_batched(model, sim_dofs, anc_pos, anc_quat, q_sd, origin_xyz=None,
+               block_b: int = 512, interpret: Optional[bool] = None):
+    """Batched FK over the moving subtrees: returns (pos [3R,B], quat [4R,B])
+    in rel-link row-major layout (l*3+c / l*4+c)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    fn, st = _get_fk(_model_key(model), tuple(int(d) for d in sim_dofs),
+                     origin_xyz is not None, block_b, bool(interpret))
+    args = [anc_pos, anc_quat, q_sd] + ([origin_xyz] if origin_xyz is not None else [])
+    return fn(*args)
 
 
 _MODEL_REGISTRY = {}
@@ -502,6 +565,8 @@ def substep_batched(
     mass: Optional[jnp.ndarray] = None,
     com: Optional[jnp.ndarray] = None,
     idiag: Optional[jnp.ndarray] = None,
+    pos_rel: Optional[jnp.ndarray] = None,
+    quat_rel: Optional[jnp.ndarray] = None,
     block_b: int = 512,
     interpret: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -510,18 +575,24 @@ def substep_batched(
 
     anc_pos/anc_quat: world poses of the moving subtrees' static parents
     ([3A,B]/[4A,B], see get_structure().anchors; anchor id -1 = body base),
-    constant across a control step.  Returns (q', qd') of shape [ns, B].
-    Semantics match physics/dynamics.substep on the same reduced system.
+    constant across a control step.  Alternatively pass pos_rel/quat_rel
+    ([3R,B]/[4R,B] from fk_batched) to skip the in-kernel FK — the layout
+    used when the same poses also feed the contact pipeline.  Returns
+    (q', qd') of shape [ns, B].  Semantics match physics/dynamics.substep
+    on the same reduced system.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     dyn_inertial = mass is not None
     dyn_origin = origin_xyz is not None
+    fk_inside = pos_rel is None
     fn, st = _get_substep(_model_key(model), tuple(int(d) for d in sim_dofs),
                           float(dt), tuple(float(g) for g in gravity),
-                          dyn_inertial, dyn_origin, block_b, bool(interpret))
-    args = [anc_pos, anc_quat, q_sd, qd_sd, tau, target, kp, kd, cap, act, lo, hi]
-    if dyn_origin:
+                          dyn_inertial, dyn_origin, block_b, bool(interpret),
+                          fk_inside=fk_inside)
+    in0, in1 = (anc_pos, anc_quat) if fk_inside else (pos_rel, quat_rel)
+    args = [in0, in1, q_sd, qd_sd, tau, target, kp, kd, cap, act, lo, hi]
+    if dyn_origin and fk_inside:
         args.append(origin_xyz)
     if dyn_inertial:
         args += [mass, com, idiag]

@@ -88,6 +88,39 @@ class PairTable:
         return len(self.a)
 
 
+def tuned_pairs(gs: GeomSet, pt: PairTable, link_mass: np.ndarray, dt: float,
+                alpha: float = 0.25, zeta: float = 1.0) -> PairTable:
+    """Stability-tuned penalty parameters per pair (MuJoCo solref-style).
+
+    An explicit penalty spring k is stable under semi-implicit Euler only if
+    its eigenfrequency fits the substep: k < alpha * m_eff / dt^2.  The
+    original fixed k=3000 detonates for light links (a 0.1 kg tool at
+    dt=0.02 has a 2.5x unstable spring — observed as runaway joint
+    velocities in ~0.1% of envs).  Per-pair k is derived from the two
+    links' masses (world side = infinite), with near-critical damping
+    bounded by its own stability limit d < m_eff/dt.
+
+    Equilibrium force readbacks are unchanged (spring force still balances
+    the applied load); only the penetration depth at equilibrium shifts,
+    bounded by the 2 cm cap in ops/collision.py.
+    """
+    import dataclasses
+
+    def side_mass(idx):
+        l = gs.link[idx]
+        m = np.where(l < 0, np.inf, link_mass[np.maximum(l, 0)])
+        return np.maximum(m, 5e-2)   # floor: welded 0-mass frames -> 50 g
+
+    ma, mb = side_mass(pt.a), side_mass(pt.b)
+    m_eff = 1.0 / (1.0 / ma + 1.0 / mb)
+    m_eff = np.where(np.isfinite(m_eff), m_eff, np.maximum(ma, mb))
+    m_eff = np.minimum(m_eff, 50.0)
+    k = np.clip(alpha * m_eff / dt ** 2, 50.0, 10000.0).astype(np.float32)
+    d = np.minimum(2.0 * zeta * np.sqrt(k * m_eff),
+                   0.5 * m_eff / dt).astype(np.float32)
+    return dataclasses.replace(pt, stiffness=k, damping=d)
+
+
 class WorldGeoms(NamedTuple):
     w0: jnp.ndarray     # f32[G,3] segment start / box centre / plane point
     w1: jnp.ndarray     # f32[G,3] segment end / plane normal (world)

@@ -278,6 +278,11 @@ def substep(
         lam = jnp.clip(m_app * v_err, -cap * dt, cap * dt)
         qd1 = qd1 + jnp.where(on & act, lam / m_app, 0.0)
 
+    # velocity clamp: keeps rare contact-energized envs inside the
+    # integrator's validity regime (0.24 rad/substep at dt=0.02).  Healthy
+    # envs command <~1 rad/s (the reference's Bullet arms likewise), so the
+    # clamp is unobservable except as a stability guard.
+    qd1 = jnp.clip(qd1, -12.0, 12.0)
     q1 = qs + dt * qd1 * actf
 
     # --- hard joint-limit projection (env.py:179-201 semantics) ---
