@@ -76,6 +76,14 @@ def make_train_step(task, cfg: PPOConfig, mesh: Mesh = None):
     net_h = ActorCritic(ah1 - ah0, cfg.hidden)
     tx = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm),
                      optax.adam(cfg.lr))
+    # same batched-env-step selection as ppo.make_train_step
+    if hasattr(task, "step_batched"):
+        if mesh is None or mesh.size == 1:
+            env_step = task.step_batched
+        else:
+            env_step = ppo._shard_mapped_step(task, cfg, mesh)
+    else:
+        env_step = jax.vmap(task.step)
 
     def policy_out(net, params, obs):
         mean, log_std, value = jax.vmap(lambda o: net.apply(params, o))(obs)
@@ -91,7 +99,7 @@ def make_train_step(task, cfg: PPOConfig, mesh: Mesh = None):
             a_r = mr + jax.random.normal(kr, mr.shape, mr.dtype) * jnp.exp(sr)
             a_h = mh + jax.random.normal(kh, mh.shape, mh.dtype) * jnp.exp(sh_)
             action = jnp.concatenate([a_r, a_h], -1)
-            env_state, obs_next, reward, done, info = jax.vmap(task.step)(env_state, action)
+            env_state, obs_next, reward, done, info = env_step(env_state, action)
             out = dict(obs_r=obs_r, obs_h=obs_h, a_r=a_r, a_h=a_h,
                        logp_r=_gaussian_logp(mr, sr, a_r),
                        logp_h=_gaussian_logp(mh, sh_, a_h),
