@@ -601,19 +601,26 @@ def take_step_batched(spec: SceneSpec, states: EnvState, actions: jax.Array):
         prev_valid_right=pvr, prev_valid_left=pvl,
         target_human_joint_positions=pre["thjp"], aux=aux)
 
-    # final-configuration readbacks (vmapped, partial-FK against the caches)
-    fk_r = jax.vmap(lambda q, bp, bq, cp, cq: kin.fk_partial(
-        spec.robot, q, bp, bq, kin.FK(cp, cq), r_moving))(
-            rq, states.robot_base_pos, states.robot_base_quat,
-            fk_r_cache.pos, fk_r_cache.quat)
-    fk_h = jax.vmap(lambda q, bp, bq, cp, cq, ox: kin.fk_partial(
-        spec.human, q, bp, bq, kin.FK(cp, cq), h_moving, origin_xyz=ox))(
-            hq, states.human_base_pos, states.human_base_quat,
-            fk_h_cache.pos, fk_h_cache.quat, states.human["origin_xyz"])
+    # final-configuration readbacks (kernel FK + reduced velocities; qd is
+    # exactly zero outside the sim dofs after the substep loop)
+    pos_r_bl, quat_r_bl = pdyn.fk_batched(spec.robot, r_sim,
+                                          anc_r[0], anc_r[1], q_r)
+    fk_r = kin.FK(
+        fk_r_cache.pos.at[:, r_rel].set(_unmarshal(pos_r_bl, r_rel, 3)),
+        fk_r_cache.quat.at[:, r_rel].set(_unmarshal(quat_r_bl, r_rel, 4)))
+    if h_sim:
+        pos_h_bl, quat_h_bl = pdyn.fk_batched(spec.human, h_sim,
+                                              anc_h[0], anc_h[1], q_h,
+                                              origin_xyz=ox_h)
+        fk_h = kin.FK(
+            fk_h_cache.pos.at[:, hrel].set(_unmarshal(pos_h_bl, hrel, 3)),
+            fk_h_cache.quat.at[:, hrel].set(_unmarshal(quat_h_bl, hrel, 4)))
+    else:
+        fk_h = fk_h_cache
     vel_h = jax.vmap(lambda f_p, f_q, qd: kin.link_velocities(
-        spec.human, kin.FK(f_p, f_q), qd))(fk_h.pos, fk_h.quat, hqd)
+        spec.human, kin.FK(f_p, f_q), qd, dofs=h_sim))(fk_h.pos, fk_h.quat, hqd)
     vel_r = jax.vmap(lambda f_p, f_q, qd: kin.link_velocities(
-        spec.robot, kin.FK(f_p, f_q), qd))(fk_r.pos, fk_r.quat, rqd)
+        spec.robot, kin.FK(f_p, f_q), qd, dofs=r_sim))(fk_r.pos, fk_r.quat, rqd)
     contacts = jax.vmap(lambda s, fhp, fhq, frp, frq, vh, vr, wh, wr:
                         con.evaluate(spec.geoms, spec.pairs,
                                      jnp.concatenate([fhp, frp], 0),

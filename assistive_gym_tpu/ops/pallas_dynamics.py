@@ -520,7 +520,7 @@ def _get_fk(model_key, sim_dofs, dynamic_origin, block_b, interpret):
 
 
 def fk_batched(model, sim_dofs, anc_pos, anc_quat, q_sd, origin_xyz=None,
-               block_b: int = 512, interpret: Optional[bool] = None):
+               block_b: int = 1024, interpret: Optional[bool] = None):
     """Batched FK over the moving subtrees: returns (pos [3R,B], quat [4R,B])
     in rel-link row-major layout (l*3+c / l*4+c)."""
     if interpret is None:
@@ -567,7 +567,7 @@ def substep_batched(
     idiag: Optional[jnp.ndarray] = None,
     pos_rel: Optional[jnp.ndarray] = None,
     quat_rel: Optional[jnp.ndarray] = None,
-    block_b: int = 512,
+    block_b: int = 1024,
     interpret: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched fused dynamics substep (FK + CRBA + RNEA + solve + PD +

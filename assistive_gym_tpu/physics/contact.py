@@ -112,7 +112,8 @@ def tuned_pairs(gs: GeomSet, pt: PairTable, link_mass: np.ndarray, dt: float,
         return np.maximum(m, 5e-2)   # floor: welded 0-mass frames -> 50 g
 
     ma, mb = side_mass(pt.a), side_mass(pt.b)
-    m_eff = 1.0 / (1.0 / ma + 1.0 / mb)
+    with np.errstate(divide="ignore"):   # both sides static -> inf/inf
+        m_eff = 1.0 / (1.0 / ma + 1.0 / mb)
     m_eff = np.where(np.isfinite(m_eff), m_eff, np.maximum(ma, mb))
     m_eff = np.minimum(m_eff, 50.0)
     k = np.clip(alpha * m_eff / dt ** 2, 50.0, 10000.0).astype(np.float32)
