@@ -102,6 +102,11 @@ class SceneSpec:
     tool_tip_link: int = -1
     human_params_mf: Any = None       # (male, female) static param dicts
     substep_hook: Optional[Callable] = None  # (spec,state_aux,fk_h,fk_r,dt)->aux
+    # batch-last hook for the zero-transpose loop (take_step_batched):
+    # (spec, states, aux, hpos, hquat, rpos, rquat, p0, p1, rad, contacts,
+    #  dt) -> aux, with link arrays [L,3/4,B], geoms [G,3,B]/[G,B], and the
+    # substep's ContactB (its w0/w1 world segments are reusable)
+    substep_hook_batched: Optional[Callable] = None
 
     @property
     def action_len(self):
@@ -492,6 +497,83 @@ def take_step_batched(spec: SceneSpec, states: EnvState, actions: jax.Array):
         """[ncomp*R, B] batch-last kernel FK -> [B, R, ncomp] batch-first."""
         return jnp.transpose(bl.reshape(len(rel), ncomp, B), (2, 0, 1))
 
+    # ---- batch-last loop (no substep hook): zero-transpose pipeline ----
+    # FK kernels scatter into [L,3,B] link arrays; contacts/velocities/
+    # wrench run batch-last (physics/batched.py); the wrench output is the
+    # dynamics kernel's tau input directly.
+    from ..physics import batched as pb
+
+    fkh_bl = (jnp.transpose(fk_h_cache.pos, (1, 2, 0)),
+              jnp.transpose(fk_h_cache.quat, (1, 2, 0)))
+    fkr_bl = (jnp.transpose(fk_r_cache.pos, (1, 2, 0)),
+              jnp.transpose(fk_r_cache.quat, (1, 2, 0)))
+    p0_bl = jnp.transpose(states.geom_p0, (1, 2, 0))
+    p1_bl = jnp.transpose(states.geom_p1, (1, 2, 0))
+    rad_bl = states.geom_radius.T
+
+    def substep_bl(carry, _):
+        q_r, qd_r, q_h, qd_h, pvr, pvl, aux = carry
+        pos_r_bl, quat_r_bl = pdyn.fk_batched(spec.robot, r_sim,
+                                              anc_r[0], anc_r[1], q_r)
+        rpos = fkr_bl[0].at[r_rel].set(pos_r_bl.reshape(Rr, 3, B))
+        rquat = fkr_bl[1].at[r_rel].set(quat_r_bl.reshape(Rr, 4, B))
+        if h_sim:
+            pos_h_bl, quat_h_bl = pdyn.fk_batched(spec.human, h_sim,
+                                                  anc_h[0], anc_h[1], q_h,
+                                                  origin_xyz=ox_h)
+            hpos = fkh_bl[0].at[hrel].set(pos_h_bl.reshape(len(hrel), 3, B))
+            hquat = fkh_bl[1].at[hrel].set(quat_h_bl.reshape(len(hrel), 4, B))
+        else:
+            hpos, hquat = fkh_bl
+
+        rv, rw = pb.link_velocities_b(spec.robot, r_sim, rpos, rquat, qd_r)
+        if h_sim:
+            hv, hw = pb.link_velocities_b(spec.human, h_sim, hpos, hquat, qd_h)
+        else:
+            hv = hw = jnp.zeros_like(hpos)
+        c = pb.evaluate_batched(
+            spec.geoms, spec.pairs,
+            jnp.concatenate([hpos, rpos], 0), jnp.concatenate([hquat, rquat], 0),
+            jnp.concatenate([hv, rv], 0), jnp.concatenate([hw, rw], 0),
+            p0_bl, p1_bl, rad_bl)
+        Lh_ = spec.n_human_links
+        tau_r = pb.wrench_to_tau_b(spec.robot, r_sim, rpos, rquat,
+                                   c.link_force[Lh_:], c.link_torque[Lh_:])
+        q_r2, qd_r2 = pdyn.substep_batched(
+            spec.robot, r_sim, dt, spec.gravity_robot,
+            anc_r[0], anc_r[1], q_r, qd_r, tau_r,
+            tgt_r, kp_r, ones_r, cap_r, act_r, lo_r, hi_r,
+            pos_rel=pos_r_bl, quat_rel=quat_r_bl)
+        if h_sim:
+            tau_h = pb.wrench_to_tau_b(spec.human, h_sim, hpos, hquat,
+                                       c.link_force[:Lh_], c.link_torque[:Lh_])
+            q_h2, qd_h2 = pdyn.substep_batched(
+                spec.human, h_sim, dt, spec.gravity_human,
+                anc_h[0], anc_h[1], q_h, qd_h, tau_h,
+                tgt_h, kp_h, ones_h, cap_h, act_h, lo_h, hi_h,
+                mass=mass_h, com=com_h, idiag=idiag_h,
+                pos_rel=pos_h_bl, quat_rel=quat_h_bl)
+        else:
+            q_h2, qd_h2 = q_h, qd_h
+        if spec.human_control and h_sim:
+            hq2_full = states.human_q.at[:, sdh].set(q_h2.T)
+            hqd2_full = jnp.zeros_like(states.human_qd).at[:, sdh].set(qd_h2.T)
+            if 3 in h_sim:
+                hq2_full, hqd2_full, pvr = jax.vmap(
+                    lambda q, qd, pv: arm_limits.enforce_realistic_limits(
+                        q, qd, pv, (3, 4, 5, 6), right=True))(hq2_full, hqd2_full, pvr)
+            if 13 in h_sim:
+                hq2_full, hqd2_full, pvl = jax.vmap(
+                    lambda q, qd, pv: arm_limits.enforce_realistic_limits(
+                        q, qd, pv, (13, 14, 15, 16), right=False))(hq2_full, hqd2_full, pvl)
+            q_h2 = hq2_full[:, sdh].T
+            qd_h2 = hqd2_full[:, sdh].T
+        if spec.substep_hook_batched is not None:
+            aux = spec.substep_hook_batched(spec, states, aux, hpos, hquat,
+                                            rpos, rquat, p0_bl, p1_bl, rad_bl,
+                                            c, dt)
+        return (q_r2, qd_r2, q_h2, qd_h2, pvr, pvl, aux), None
+
     def substep(carry, _):
         q_r, qd_r, q_h, qd_h, pvr, pvl, aux = carry
         rqd_full = jnp.zeros_like(states.robot_qd).at[:, sdr].set(qd_r.T)
@@ -585,8 +667,11 @@ def take_step_batched(spec: SceneSpec, states: EnvState, actions: jax.Array):
         qd_h0 = jnp.zeros((0, B), f32)
     carry0 = (q_r0, qd_r0, q_h0, qd_h0,
               states.prev_valid_right, states.prev_valid_left, states.aux)
+    use_bl = (spec.substep_hook is None
+              or spec.substep_hook_batched is not None)
+    body = substep_bl if use_bl else substep
     (q_r, qd_r, q_h, qd_h, pvr, pvl, aux), _ = jax.lax.scan(
-        substep, carry0, None, length=spec.frame_skip)
+        body, carry0, None, length=spec.frame_skip)
 
     rq = states.robot_q.at[:, sdr].set(q_r.T)
     rqd = jnp.zeros_like(states.robot_qd).at[:, sdr].set(qd_r.T)

@@ -91,6 +91,9 @@ def build(robot_name: str, human_control: bool) -> "DrinkingTask":
         human_params_mf=(base.static_human_params("male"),
                          base.static_human_params("female")),
         substep_hook=_water_substep,
+        # _water_substep_b is available but the hybrid loop measures
+        # ~5% faster for this task (particle-aux transposes);
+        # substep_hook_batched=_water_substep_b,
     )
     return DrinkingTask(spec)
 
@@ -115,6 +118,32 @@ def _water_substep(spec, state, aux, fk_h, fk_r, dt):
     p = part.collide_segments(p, WATER_RADIUS, a, b, r)
     p = part.separate(p, WATER_RADIUS)
     return dict(aux, water_pos=p.pos, water_vel=p.vel)
+
+
+def _water_substep_b(spec, states, aux, hpos, hquat, rpos, rquat,
+                     p0_bl, p1_bl, rad_bl, contacts, dt):
+    """Batch-last water hook (physics/batched.py layouts)."""
+    from ..physics import batched as pb
+    T = lambda x: jnp.transpose(x, (1, 2, 0))
+    p = part.ParticlesB(T(aux["water_pos"]), T(aux["water_vel"]),
+                        aux["water_alive"].T)
+    p = part.integrate_b(p, dt, (0.0, 0.0, -9.81))
+    tip = spec.tool_tip_link
+    cpos = rpos[tip]
+    cq = [rquat[tip, c] for c in range(4)]
+    off_t = [jnp.full_like(cpos[0], v) for v in TOP_OFF]
+    off_b = [jnp.full_like(cpos[0], v) for v in BOTTOM_OFF]
+    top = jnp.stack([cpos[i] + r for i, r in
+                     enumerate(pb.quat_rotate_b(cq, off_t))], 0)
+    bottom = jnp.stack([cpos[i] + r for i, r in
+                        enumerate(pb.quat_rotate_b(cq, off_b))], 0)
+    p = part.collide_cup_cylinder_b(p, WATER_RADIUS, top, bottom, CUP_R - 0.008)
+    nhg = spec.human_params_mf[0]["geom_p0"].shape[0]
+    seg_a, seg_b = contacts.w0[:nhg], contacts.w1[:nhg]
+    p = part.collide_segments_b(p, WATER_RADIUS, seg_a, seg_b, rad_bl[:nhg])
+    p = part.separate_b(p, WATER_RADIUS)
+    Tb = lambda x: jnp.transpose(x, (2, 0, 1))
+    return dict(aux, water_pos=Tb(p.pos), water_vel=Tb(p.vel))
 
 
 class DrinkingTask:

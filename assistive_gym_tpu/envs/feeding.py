@@ -91,6 +91,9 @@ def build(robot_name: str, human_control: bool) -> "FeedingTask":
         human_params_mf=(base.static_human_params("male"),
                          base.static_human_params("female")),
         substep_hook=_food_substep,
+        # _food_substep_b is available but the hybrid loop measures
+        # ~5% faster for this task (particle-aux transposes);
+        # substep_hook_batched=_food_substep_b,
     )
     return FeedingTask(spec)
 
@@ -121,6 +124,30 @@ def _food_substep(spec, state, aux, fk_h, fk_r, dt):
                              jnp.asarray(TABLE_TOP_HALF, f32))
     p = part.separate(p, FOOD_RADIUS)
     return dict(aux, food_pos=p.pos, food_vel=p.vel)
+
+
+def _food_substep_b(spec, states, aux, hpos, hquat, rpos, rquat,
+                    p0_bl, p1_bl, rad_bl, contacts, dt):
+    """Batch-last food hook for the zero-transpose loop (physics/batched.py
+    layouts); same physics as _food_substep."""
+    from ..physics import batched as pb
+    T = lambda x: jnp.transpose(x, (1, 2, 0))             # [B,N,3]->[N,3,B]
+    p = part.ParticlesB(T(aux["food_pos"]), T(aux["food_vel"]),
+                        aux["food_alive"].T)
+    p = part.integrate_b(p, dt, (0.0, 0.0, -9.81))
+    tip = spec.tool_tip_link
+    center = rpos[tip]                                    # [3,B]
+    tipq = [rquat[tip, c] for c in range(4)]
+    upl = aux["scoop_up_local"].T                         # [3,B]
+    up = jnp.stack(pb.quat_rotate_b(tipq, [upl[0], upl[1], upl[2]]), 0)
+    p = part.collide_spoon_scoop_b(p, FOOD_RADIUS, center, up)
+    nhg = spec.human_params_mf[0]["geom_p0"].shape[0]
+    seg_a, seg_b = contacts.w0[:nhg], contacts.w1[:nhg]
+    p = part.collide_segments_b(p, FOOD_RADIUS, seg_a, seg_b, rad_bl[:nhg])
+    p = part.collide_box_top_b(p, FOOD_RADIUS, TABLE_TOP_CENTER, TABLE_TOP_HALF)
+    p = part.separate_b(p, FOOD_RADIUS)
+    Tb = lambda x: jnp.transpose(x, (2, 0, 1))            # back to [B,N,3]
+    return dict(aux, food_pos=Tb(p.pos), food_vel=Tb(p.vel))
 
 
 class FeedingTask:

@@ -519,12 +519,24 @@ def _get_fk(model_key, sim_dofs, dynamic_origin, block_b, interpret):
     return _pallas_apply(kernel, rows, [3 * R, 4 * R], block_b, interpret), st
 
 
+def _auto_block(R: int) -> int:
+    """Largest lane-block that keeps the unrolled kernel's live values inside
+    the ~16 MB VMEM budget (measured ~450 B/lane per rel link; the PR2
+    dual-arm system, R=47, OOMs at 1024 lanes but fits at 512)."""
+    for blk in (1024, 512, 256, 128):
+        if 450 * R * blk <= 12 * 1024 * 1024:
+            return blk
+    return 128
+
+
 def fk_batched(model, sim_dofs, anc_pos, anc_quat, q_sd, origin_xyz=None,
-               block_b: int = 1024, interpret: Optional[bool] = None):
+               block_b: Optional[int] = None, interpret: Optional[bool] = None):
     """Batched FK over the moving subtrees: returns (pos [3R,B], quat [4R,B])
     in rel-link row-major layout (l*3+c / l*4+c)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if block_b is None:
+        block_b = _auto_block(get_structure(model, sim_dofs).R)
     fn, st = _get_fk(_model_key(model), tuple(int(d) for d in sim_dofs),
                      origin_xyz is not None, block_b, bool(interpret))
     args = [anc_pos, anc_quat, q_sd] + ([origin_xyz] if origin_xyz is not None else [])
@@ -567,7 +579,7 @@ def substep_batched(
     idiag: Optional[jnp.ndarray] = None,
     pos_rel: Optional[jnp.ndarray] = None,
     quat_rel: Optional[jnp.ndarray] = None,
-    block_b: int = 1024,
+    block_b: Optional[int] = None,
     interpret: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched fused dynamics substep (FK + CRBA + RNEA + solve + PD +
@@ -586,6 +598,9 @@ def substep_batched(
     dyn_inertial = mass is not None
     dyn_origin = origin_xyz is not None
     fk_inside = pos_rel is None
+    if block_b is None:
+        st0 = get_structure(model, sim_dofs)
+        block_b = _auto_block(st0.R)
     fn, st = _get_substep(_model_key(model), tuple(int(d) for d in sim_dofs),
                           float(dt), tuple(float(g) for g in gravity),
                           dyn_inertial, dyn_origin, block_b, bool(interpret),

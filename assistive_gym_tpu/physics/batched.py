@@ -1,0 +1,292 @@
+"""Batch-last (env-on-lanes) contact + velocity + wrench pipeline.
+
+The substep loop's XLA portion originally ran per-env under vmap, where
+every [B, P, 3]-shaped intermediate pads its trailing dims to the TPU's
+(8, 128) tiles — a 30-40x memory blowup at the materialization points the
+fusion can't absorb.  Here every quantity is laid out [rows..., B]: the
+pair axis sits on sublanes, the env batch on lanes, so tiles are dense.
+The layouts dovetail with ops/pallas_dynamics.py: the FK kernel's
+[3R, B]/[4R, B] outputs scatter straight into the [L, 3, B] link-pose
+arrays, and the wrench output [ns, B] is exactly the dynamics kernel's tau
+input — the whole loop runs without a single transpose.
+
+Supports the pair kinds the tasks actually use (seg-seg and plane; no task
+has box pairs — verified over all 6).  Semantics match contact.evaluate /
+kinematics.link_velocities / link_wrenches_to_joint_torques.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..physics import contact as con
+from ..physics.kinematics import _masks
+
+_EPS = 1e-9
+
+
+def _c3(x):
+    """[N, 3, B] -> list of 3 [N, B] components."""
+    return [x[:, 0], x[:, 1], x[:, 2]]
+
+
+def _s3(c):
+    return jnp.stack(c, 1)          # -> [N, 3, B]
+
+
+def _cross(a, b):
+    return [a[1] * b[2] - a[2] * b[1],
+            a[2] * b[0] - a[0] * b[2],
+            a[0] * b[1] - a[1] * b[0]]
+
+
+def _dot(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def _add(a, b):
+    return [a[0] + b[0], a[1] + b[1], a[2] + b[2]]
+
+
+def _sub(a, b):
+    return [a[0] - b[0], a[1] - b[1], a[2] - b[2]]
+
+
+def _scale(s, a):
+    return [s * a[0], s * a[1], s * a[2]]
+
+
+def _quat_rotate(q, v):
+    """q: list of 4 [N,B]; v: list of 3 ([N,B] or broadcastable)."""
+    qv = q[:3]
+    t = _scale(2.0, _cross(qv, v))
+    return _add(v, _add(_scale(q[3], t), _cross(qv, t)))
+
+
+class ContactB(NamedTuple):
+    fn: jnp.ndarray           # [P, B]
+    dist: jnp.ndarray         # [P, B]
+    point: jnp.ndarray        # [P, 3, B]
+    link_force: jnp.ndarray   # [L, 3, B]
+    link_torque: jnp.ndarray  # [L, 3, B]
+    group_fn: jnp.ndarray     # [ngroups, B]
+    w0: jnp.ndarray           # [G, 3, B] world geom segments (reused by hooks)
+    w1: jnp.ndarray
+
+
+def evaluate_batched(
+    gs: con.GeomSet,
+    pt: con.PairTable,
+    link_pos: jnp.ndarray,    # [L, 3, B]
+    link_quat: jnp.ndarray,   # [L, 4, B]
+    link_v: Optional[jnp.ndarray],   # [L, 3, B] linear velocity or None
+    link_w: Optional[jnp.ndarray],   # [L, 3, B] angular velocity or None
+    p0: jnp.ndarray,          # [G, 3, B] local geometry (per-env human dims)
+    p1: jnp.ndarray,
+    radius: jnp.ndarray,      # [G, B]
+) -> ContactB:
+    kinds = set(np.unique(pt.kind).tolist())
+    assert kinds <= {0, 2}, f"batch-last path supports seg/plane only, got {kinds}"
+    L = link_pos.shape[0]
+    B = link_pos.shape[-1]
+    f32 = link_pos.dtype
+
+    # ---- world geoms ----
+    gl = np.maximum(gs.link, 0)
+    is_world = (gs.link < 0)
+    lp = _c3(link_pos[gl])
+    lq = [link_quat[gl][:, c] for c in range(4)]
+    if is_world.any():
+        wmask = jnp.asarray(is_world, f32)[:, None]
+        lp = [c * (1.0 - wmask) for c in lp]
+        ident = jnp.asarray(is_world, f32)[:, None]
+        lq = [q * (1.0 - ident) for q in lq[:3]] + [lq[3] * (1.0 - ident) + ident]
+    w0 = _add(lp, _quat_rotate(lq, _c3(p0)))
+    p1w = _add(lp, _quat_rotate(lq, _c3(p1)))
+    n_w = _quat_rotate(lq, _c3(p1))              # plane normal: rotation only
+    is_plane = (gs.gtype == con.GEOM_PLANE)
+    if is_plane.any():
+        pm = jnp.asarray(is_plane, f32)[:, None]
+        w1 = [pm * n + (1.0 - pm) * p for n, p in zip(n_w, p1w)]
+    else:
+        w1 = p1w
+
+    # ---- pair gathers ----
+    ia, ib = pt.a, pt.b
+    a0 = [c[ia] for c in w0]
+    a1 = [c[ia] for c in w1]
+    ra = radius[ia]
+    b0 = [c[ib] for c in w0]
+    b1 = [c[ib] for c in w1]
+    rb = radius[ib]
+
+    # ---- narrow phase (componentwise Ericson seg-seg) ----
+    d1 = _sub(a1, a0)
+    d2 = _sub(b1, b0)
+    r = _sub(a0, b0)
+    A = _dot(d1, d1)
+    e = _dot(d2, d2)
+    f = _dot(d2, r)
+    c_ = _dot(d1, r)
+    b_ = _dot(d1, d2)
+    denom = A * e - b_ * b_
+    s = jnp.where(denom > _EPS,
+                  jnp.clip((b_ * f - c_ * e) / jnp.maximum(denom, _EPS), 0.0, 1.0),
+                  0.0)
+    t = (b_ * s + f) / jnp.maximum(e, _EPS)
+    t_cl = jnp.clip(t, 0.0, 1.0)
+    s = jnp.where(t != t_cl,
+                  jnp.clip((t_cl * b_ - c_) / jnp.maximum(A, _EPS), 0.0, 1.0), s)
+    s = jnp.where(A <= _EPS, 0.0, s)
+    t_cl = jnp.where(e <= _EPS, 0.0,
+                     jnp.clip((b_ * s + f) / jnp.maximum(e, _EPS), 0.0, 1.0))
+    pa = _add(a0, _scale(s, d1))
+    pb = _add(b0, _scale(t_cl, d2))
+    d = _sub(pa, pb)
+    dn = jnp.sqrt(jnp.maximum(_dot(d, d), _EPS * _EPS))
+    normal = [d[0] / dn, d[1] / dn, jnp.where(dn > _EPS, d[2] / dn, 1.0)]
+    dist_ss = dn - (ra + rb)
+    off = rb + 0.5 * dist_ss
+    point_ss = _add(pb, _scale(off, normal))
+
+    if 2 in kinds:
+        # capsule vs half-space: b0 = plane point, b1 = unit normal
+        plane_off = _dot(b0, b1)
+        da0 = _dot(a0, b1) - plane_off
+        da1 = _dot(a1, b1) - plane_off
+        dmin = jnp.minimum(da0, da1)
+        tp = jnp.where(da0 <= da1, 0.0, 1.0)
+        pp = _add(a0, _scale(tp, _sub(a1, a0)))
+        dist_pl = dmin - ra
+        pr = _dot(pp, b1) - plane_off
+        point_pl = _sub(pp, _scale(pr, b1))
+        kp = jnp.asarray(pt.kind == 2, f32)[:, None]
+        dist = kp * dist_pl + (1.0 - kp) * dist_ss
+        normal = [kp * n2 + (1.0 - kp) * n1 for n1, n2 in zip(normal, b1)]
+        point = [kp * p2 + (1.0 - kp) * p1_
+                 for p1_, p2 in zip(point_ss, point_pl)]
+    else:
+        dist = dist_ss
+        point = point_ss
+
+    # ---- contact velocities + penalty force (contact_force parity) ----
+    la = np.maximum(gs.link[pt.a], 0)
+    lb = np.maximum(gs.link[pt.b], 0)
+    aw = jnp.asarray(gs.link[pt.a] < 0, f32)[:, None]   # [P,1] vs [P,B]
+    bw = jnp.asarray(gs.link[pt.b] < 0, f32)[:, None]
+
+    def vel_at(lidx, wmask, pts):
+        if link_v is None:
+            return [jnp.zeros_like(pts[0])] * 3
+        v = _c3(link_v[lidx])
+        w = _c3(link_w[lidx])
+        arm = _sub(pts, _c3(link_pos[lidx]))
+        vv = _add(v, _cross(w, arm))
+        return [c * (1.0 - wmask) for c in vv]
+
+    rel_vel = _sub(vel_at(la, aw, point), vel_at(lb, bw, point))
+
+    stiff = jnp.asarray(pt.stiffness)[:, None]
+    damp = jnp.asarray(pt.damping)[:, None]
+    fric = jnp.asarray(pt.friction)[:, None]
+    depth = jnp.minimum(jnp.maximum(-dist, 0.0), 0.02)
+    in_contact = (depth > 0.0).astype(f32)
+    v_n = _dot(rel_vel, normal)
+    fn = jnp.minimum(jnp.maximum(stiff * depth - damp * v_n, 0.0) * in_contact,
+                     500.0)
+    v_t = _sub(rel_vel, _scale(v_n, normal))
+    v_t_norm = jnp.sqrt(jnp.maximum(_dot(v_t, v_t), 1e-8))
+    f_t_mag = jnp.where(v_t_norm > 1e-4, fric * fn, 0.0)
+    inv_vt = 1.0 / jnp.maximum(v_t_norm, 1e-4)
+    force = _add(_scale(fn, normal),
+                 _scale(-f_t_mag * inv_vt * in_contact, v_t))
+
+    # ---- per-link wrench accumulation ----
+    fa = [c * (1.0 - aw) for c in force]
+    fb = [-c * (1.0 - bw) for c in force]
+    ta = _cross(_sub(point, _c3(link_pos[la])), fa)
+    tb = _cross(_sub(point, _c3(link_pos[lb])), fb)
+    lf = (jnp.zeros((L, 3, B), f32).at[la].add(_s3(fa)).at[lb].add(_s3(fb)))
+    lt = (jnp.zeros((L, 3, B), f32).at[la].add(_s3(ta)).at[lb].add(_s3(tb)))
+    group_fn = jnp.zeros((pt.ngroups, B), f32).at[pt.group].add(fn)
+    return ContactB(fn, dist, _s3(point), lf, lt, group_fn,
+                    _s3(w0), _s3(w1))
+
+
+# ------------------------------------------------- velocities + wrench mapping
+
+
+def motion_subspace_b(model, sim_dofs, link_pos, link_quat):
+    """Batch-last world motion subspaces for the sim dofs.
+
+    Returns (S_w [k,3,B], S_v [k,3,B]) from FULL [L,3/4,B] link poses."""
+    from .model import JOINT_REVOLUTE
+    sd = np.asarray(sim_dofs, np.int32)
+    dl = np.asarray(model.dof_links)[sd]
+    q = [link_quat[dl][:, c] for c in range(4)]
+    ax = np.asarray(model.axis[dl], np.float32)
+    a = _quat_rotate(q, [jnp.asarray(ax[:, c])[:, None] for c in range(3)])
+    p = _c3(link_pos[dl])
+    rev = jnp.asarray(model.joint_type[dl] == JOINT_REVOLUTE,
+                      link_pos.dtype)[:, None]
+    S_w = [rev * c for c in a]
+    S_v = [rev * c1 + (1.0 - rev) * c2 for c1, c2 in zip(_cross(p, a), a)]
+    return S_w, S_v
+
+
+def link_velocities_b(model, sim_dofs, link_pos, link_quat, qd_sd):
+    """Batch-last link velocities: (v [L,3,B], w [L,3,B]).
+    qd outside the sim dofs is assumed zero (the substep-loop invariant)."""
+    sd = np.asarray(sim_dofs, np.int32)
+    anc_dof, _, _ = _masks(model)
+    mask = jnp.asarray(anc_dof[:, sd])            # [L, k]
+    S_w, S_v = motion_subspace_b(model, sim_dofs, link_pos, link_quat)
+    k, B = qd_sd.shape
+    S6 = jnp.stack(S_w + S_v, 1)                  # [k, 6, B]
+    Sqd = (S6 * qd_sd[:, None, :]).reshape(k, 6 * B)
+    with jax.default_matmul_precision("float32"):
+        v_sp = (mask @ Sqd).reshape(-1, 6, B)     # [L, 6, B]
+    w = v_sp[:, :3]
+    v = v_sp[:, 3:] + _s3(_cross(_c3(w), _c3(link_pos)))
+    return v, w
+
+
+def wrench_to_tau_b(model, sim_dofs, link_pos, link_quat,
+                    link_force, link_torque):
+    """Batch-last wrench -> sim-dof torques: [k, B] (the dynamics kernel's
+    tau input layout).  Only the sim dofs' subtree links contribute."""
+    from ..physics.dynamics import _rel_links
+    sd = np.asarray(sim_dofs, np.int32)
+    rel = _rel_links(model, sd)
+    _, subtree_dof, _ = _masks(model)
+    sub = jnp.asarray(subtree_dof[np.ix_(sd, rel)])   # [k, R]
+    f = _c3(link_force[rel])
+    n_O = _add(_c3(link_torque[rel]),
+               _cross(_c3(link_pos[rel]), f))
+    f6 = jnp.stack(n_O + f, 1)                        # [R, 6, B]
+    R_, _, B = f6.shape
+    with jax.default_matmul_precision("float32"):
+        acc = (sub @ f6.reshape(R_, 6 * B)).reshape(-1, 6, B)   # [k, 6, B]
+    S_w, S_v = motion_subspace_b(model, sim_dofs, link_pos, link_quat)
+    S6 = jnp.stack(S_w + S_v, 1)                      # [k, 6, B]
+    return jnp.sum(S6 * acc, axis=1)                  # [k, B]
+
+
+def world_segments_b(gs: con.GeomSet, link_pos, link_quat, p0, p1, n: int):
+    """World segments of the first n geoms, batch-last: ([n,3,B], [n,3,B]).
+    Used by the particle hooks for the human capsule set (those geoms are
+    always link-attached, never world-static)."""
+    gl = np.maximum(gs.link[:n], 0)
+    lp = _c3(link_pos[gl])
+    lq = [link_quat[gl][:, c] for c in range(4)]
+    w0 = _add(lp, _quat_rotate(lq, _c3(p0[:n])))
+    w1 = _add(lp, _quat_rotate(lq, _c3(p1[:n])))
+    return _s3(w0), _s3(w1)
+
+
+def quat_rotate_b(quat_comps, vec_comps):
+    """Public componentwise quaternion rotation for batch-last hook code."""
+    return _quat_rotate(quat_comps, vec_comps)

@@ -150,3 +150,139 @@ def separate(p: Particles, radius: float, stiffness: float = 0.5) -> Particles:
             ~jnp.eye(p.pos.shape[0], dtype=bool))
     push = jnp.sum(jnp.where(both[..., None], 0.5 * stiffness * overlap[..., None] * n, 0.0), axis=1)
     return Particles(p.pos + push * p.alive[:, None], p.vel, p.alive)
+
+
+# ----------------------------------------------------------- batch-last (lanes)
+# Variants with the env batch on the LANE axis ([N,3,B] / [N,B]), matching
+# the batch-last substep loop (physics/batched.py).  Pairwise terms are
+# computed per component as [N,G,B] arrays — dense (G,B) tiles, no padding.
+
+class ParticlesB(NamedTuple):
+    pos: jnp.ndarray     # f32[N,3,B]
+    vel: jnp.ndarray     # f32[N,3,B]
+    alive: jnp.ndarray   # bool[N,B]
+
+
+def _pc(x):
+    return [x[:, 0], x[:, 1], x[:, 2]]
+
+
+def _ps(c, axis=1):
+    return jnp.stack(c, axis)
+
+
+def integrate_b(p: ParticlesB, dt: float, gravity) -> ParticlesB:
+    g = gravity
+    vel = p.vel + jnp.asarray([[g[0]], [g[1]], [g[2]]], p.vel.dtype)[None] * dt
+    pos = p.pos + vel * dt * p.alive[:, None, :]
+    return ParticlesB(pos, vel, p.alive)
+
+
+def _project_b(p: ParticlesB, depth, normal, restitution=0.0, friction=0.3):
+    """depth [N,B], normal [N,3,B]."""
+    hit = ((depth > 0.0) & p.alive)[:, None, :]
+    pos = p.pos + jnp.where(hit, depth[:, None, :] * normal, 0.0)
+    v_n = jnp.sum(p.vel * normal, 1)
+    v_t = p.vel - v_n[:, None, :] * normal
+    v_new = (v_t * (1.0 - friction)
+             - restitution * jnp.minimum(v_n, 0.0)[:, None, :] * normal)
+    vel = jnp.where(hit, v_new, p.vel)
+    return ParticlesB(pos, vel, p.alive)
+
+
+def _closest_depth_b(pos, radius, seg_a, seg_b, seg_r):
+    """Deepest-contact (depth [N,B], normal [N,3,B]) vs segment set
+    (seg_* [G,3,B] / [G,B]); all pairwise terms componentwise [N,G,B]."""
+    px, py, pz = _pc(pos)
+    ax, ay, az = _pc(seg_a)
+    abx, aby, abz = [b - a for a, b in zip(_pc(seg_a), _pc(seg_b))]
+    apx = px[:, None] - ax[None]
+    apy = py[:, None] - ay[None]
+    apz = pz[:, None] - az[None]
+    ab2 = (abx * abx + aby * aby + abz * abz)[None]
+    t = (apx * abx[None] + apy * aby[None] + apz * abz[None]) / jnp.maximum(ab2, 1e-9)
+    t = jnp.clip(t, 0.0, 1.0)
+    dx = apx - t * abx[None]
+    dy = apy - t * aby[None]
+    dz = apz - t * abz[None]
+    dist = jnp.sqrt(jnp.maximum(dx * dx + dy * dy + dz * dz, 1e-18))
+    depth = (seg_r[None] + radius) - dist              # [N,G,B]
+    g = jnp.argmax(depth, axis=1)                      # [N,B]
+    take = lambda x: jnp.take_along_axis(x, g[:, None, :], 1)[:, 0]
+    depth_g = take(depth)
+    inv = 1.0 / jnp.maximum(take(dist), 1e-9)
+    normal = jnp.stack([take(dx) * inv, take(dy) * inv, take(dz) * inv], 1)
+    return depth_g, normal
+
+
+def collide_segments_b(p: ParticlesB, radius, seg_a, seg_b, seg_r) -> ParticlesB:
+    depth, normal = _closest_depth_b(p.pos, radius, seg_a, seg_b, seg_r)
+    return _project_b(p, depth, normal)
+
+
+def touches_segments_b(pos, alive, radius, seg_a, seg_b, seg_r):
+    depth, _ = _closest_depth_b(pos, radius, seg_a, seg_b, seg_r)
+    return (depth > 0.0) & alive
+
+
+def collide_box_top_b(p: ParticlesB, radius: float, center, half) -> ParticlesB:
+    px, py, pz = _pc(p.pos)
+    inside_xy = ((jnp.abs(px - center[0]) < half[0] + radius)
+                 & (jnp.abs(py - center[1]) < half[1] + radius))
+    top = center[2] + half[2]
+    depth = jnp.where(inside_xy & (pz > center[2]), (top + radius) - pz, -1.0)
+    n = jnp.zeros_like(p.pos).at[:, 2].set(1.0)
+    return _project_b(p, depth, n)
+
+
+def collide_cup_cylinder_b(p: ParticlesB, radius: float,
+                           top, bottom, R: float) -> ParticlesB:
+    """top/bottom: [3,B] cup axis endpoints."""
+    axis = [b - t for t, b in zip(top, bottom)]
+    h = jnp.sqrt(jnp.maximum(sum(a * a for a in axis), 1e-18))
+    a = [c / h for c in axis]                           # [B] comps
+    d = [p.pos[:, i] - top[i][None] for i in range(3)]  # [N,B] comps
+    s = sum(di * ai[None] for di, ai in zip(d, a))
+    radial = [di - s * ai[None] for di, ai in zip(d, a)]
+    r_norm = jnp.sqrt(jnp.maximum(sum(c * c for c in radial), 1e-18))
+    r_dir = jnp.stack([c / r_norm for c in radial], 1)  # [N,3,B]
+    inside_axial = (s > 0.0) & (s < h[None])
+    wall_depth = jnp.where(inside_axial & (r_norm < R + radius),
+                           r_norm - (R - radius), -1.0)
+    p = _project_b(p, wall_depth, -r_dir)
+    d2 = [p.pos[:, i] - top[i][None] for i in range(3)]
+    s2 = sum(di * ai[None] for di, ai in zip(d2, a))
+    rad2 = [di - s2 * ai[None] for di, ai in zip(d2, a)]
+    r2 = jnp.sqrt(jnp.maximum(sum(c * c for c in rad2), 1e-18))
+    bottom_depth = jnp.where((r2 < R) & (s2 > h[None] - radius)
+                             & (s2 < h[None] + 3 * radius),
+                             s2 - (h[None] - radius), -1.0)
+    an = jnp.broadcast_to(jnp.stack(a, 0)[None], p.pos.shape)
+    return _project_b(p, bottom_depth, -an)
+
+
+def collide_spoon_scoop_b(p: ParticlesB, radius: float,
+                          center, up, R: float = 0.022) -> ParticlesB:
+    """center/up: [3,B]."""
+    d = [p.pos[:, i] - center[i][None] for i in range(3)]
+    dist = jnp.sqrt(jnp.maximum(sum(c * c for c in d), 1e-18))
+    n = [c / dist for c in d]
+    openness = sum(ni * ui[None] for ni, ui in zip(n, up))
+    solid = openness < 0.45
+    depth = jnp.where(solid & (dist < R + radius) & (dist > R - radius),
+                      dist - (R - radius), -1.0)
+    return _project_b(p, depth, -jnp.stack(n, 1))
+
+
+def separate_b(p: ParticlesB, radius: float, stiffness: float = 0.5) -> ParticlesB:
+    N = p.pos.shape[0]
+    comps = _pc(p.pos)
+    d = [c[:, None] - c[None] for c in comps]           # [N,N,B]
+    eye = jnp.eye(N, dtype=p.pos.dtype)[..., None]
+    dist = jnp.sqrt(sum(c * c for c in d) + eye)
+    overlap = jnp.maximum(2.0 * radius - dist, 0.0)
+    both = (p.alive[:, None] & p.alive[None] & ~jnp.eye(N, dtype=bool)[..., None])
+    w = jnp.where(both, 0.5 * stiffness * overlap / jnp.maximum(dist, 1e-9), 0.0)
+    push = [jnp.sum(w * c, axis=1) for c in d]          # [N,B]
+    pos = p.pos + jnp.stack(push, 1) * p.alive[:, None, :]
+    return ParticlesB(pos, p.vel, p.alive)
