@@ -81,7 +81,7 @@ def build(robot_name: str, human_control: bool) -> "ArmManipulationTask":
             pairs.append(dict(a=rgi, b=hgi, kind=0, group=G_ROBOT))
     for hgi in human_geom_ids:
         pairs.append(dict(a=hgi, b=bed_geom, kind=2, group=G_BED,
-                          stiffness=4000.0, damping=60.0, friction=0.5))
+                          friction=0.5))
     pt = con.PairTable.build(pairs, ngroups=4)
     pt = con.tuned_pairs(gs, pt, np.concatenate([human_model.mass, robot.mass]), 0.02)
 

@@ -102,8 +102,9 @@ def build(robot_name: str, human_control: bool) -> "BedBathingTask":
             pairs.append(dict(a=rgi, b=hgi, kind=0, group=GROUP_ROBOT_HUMAN))
             pad_pair_mask.append(False)
     for hgi in human_geom_ids:
+        # stiffness/damping come from tuned_pairs (stability-derived;
+        # PARITY.md notes the deviation from the 4000/60 reference-era values)
         pairs.append(dict(a=hgi, b=bed_geom, kind=2, group=GROUP_BED,
-                          stiffness=4000.0, damping=60.0,
                           friction=1.0))           # bed friction=5 then 0.3
         pad_pair_mask.append(False)
     pt = con.PairTable.build(pairs, ngroups=3)

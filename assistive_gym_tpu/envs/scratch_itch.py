@@ -59,14 +59,14 @@ def build(robot_name: str, human_control: bool) -> "ScratchItchTask":
     for tgi_local, tgi in enumerate(tool_geom_ids):
         for hgi in human_geom_ids:
             pairs.append(dict(a=tgi, b=hgi, kind=0, group=GROUP_TOOL_HUMAN,
-                              stiffness=3000.0, damping=40.0, friction=0.5))
+                              friction=0.5))
             # reference counts target force on tool links 0,1 = cylinder+tip
             # (scratch_itch.py:55); our tool geoms: 0 handle, 1 cyl, 2 tip
             at_target_mask.append(tgi_local in (1, 2))
     for rgi in robot_geom_ids:
         for hgi in human_geom_ids:
             pairs.append(dict(a=rgi, b=hgi, kind=0, group=GROUP_ROBOT_HUMAN,
-                              stiffness=3000.0, damping=40.0, friction=0.5))
+                              friction=0.5))
             at_target_mask.append(False)
     pt = con.PairTable.build(pairs, ngroups=2)
     pt = con.tuned_pairs(gs, pt, np.concatenate([human_model.mass, robot.mass]), 0.02)

@@ -33,6 +33,7 @@ run it in interpreter mode (pl.pallas_call(..., interpret=True)).
 from __future__ import annotations
 
 import functools
+import hashlib
 from typing import Optional, Tuple
 
 import jax
@@ -547,8 +548,23 @@ _MODEL_REGISTRY = {}
 
 
 def _model_key(model: ArticulatedModel) -> str:
-    key = f"{model.name}:{model.nlinks}:{id(model)}"
+    """Content fingerprint of the static model arrays, so rebuilt-but-
+    identical ArticulatedModel instances (every task build() creates fresh
+    ones) share cached structures and compiled kernels instead of leaking
+    one registry entry + kernel set per instance (ADVICE.md round-1 #4)."""
+    cached = getattr(model, "_pallas_key", None)
+    if cached is not None:
+        return cached
+    h = hashlib.sha1()
+    h.update(model.name.encode())
+    for arr in (model.parent, model.joint_type, model.origin_xyz,
+                model.origin_quat, model.axis, model.lower, model.upper,
+                model.damping, model.mass, model.com, model.inertia_diag,
+                model.inertia_quat):
+        h.update(np.ascontiguousarray(arr).tobytes())
+    key = f"{model.name}:{model.nlinks}:{h.hexdigest()[:16]}"
     _MODEL_REGISTRY[key] = model
+    object.__setattr__(model, "_pallas_key", key)   # frozen dataclass
     return key
 
 

@@ -86,8 +86,18 @@ def restore(ckpt_dir: str, train_state_template, env_state_template=None,
         raise FileNotFoundError(f"no checkpoints under {ckpt_dir!r}")
     with open(os.path.join(ckpt_dir, f"ckpt_{step}.msgpack"), "rb") as f:
         blob = f.read()
+    # the sidecar records whether env_state was saved: only include it in
+    # the deserialization template when present, so restoring a
+    # params-only checkpoint with an env_state template returns es=None
+    # instead of an opaque flax structure error (ADVICE.md round-1 #3)
+    has_env_state = env_state_template is not None
+    meta_path = os.path.join(ckpt_dir, f"ckpt_{step}.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            has_env_state = has_env_state and json.load(f).get(
+                "has_env_state", True)
     template = {"train_state": _host_gather(train_state_template)}
-    if env_state_template is not None:
+    if has_env_state:
         template["env_state"] = _host_gather(env_state_template)
     payload = serialization.from_bytes(template, blob)
 
@@ -97,7 +107,7 @@ def restore(ckpt_dir: str, train_state_template, env_state_template=None,
 
     ts = jax.tree.map(_place, payload["train_state"], train_state_template)
     es = None
-    if env_state_template is not None and "env_state" in payload:
+    if has_env_state and "env_state" in payload:
         es = jax.tree.map(_place, payload["env_state"], env_state_template)
     return step, ts, es
 

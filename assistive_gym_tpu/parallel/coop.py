@@ -32,6 +32,10 @@ class CoopTrainState:
     robot: ppo.TrainState
     human: ppo.TrainState
     key: jax.Array
+    # shared full-obs / discounted-return rms (reward is shared, so one
+    # scale serves both policies); same VecNormalize semantics as ppo.py
+    obs_rms: ppo.RunningStat = None
+    ret_rms: ppo.RunningStat = None
 
 
 def _slices(task):
@@ -44,8 +48,7 @@ def init(task, cfg: PPOConfig, key: jax.Array, mesh: Mesh = None):
     assert task.spec.human_control, "co-optimization needs a *Human-v0 env"
     (or0, or1), (oh0, oh1), (ar0, ar1), (ah0, ah1) = _slices(task)
     k_r, k_h, k_env, k_state = jax.random.split(key, 4)
-    tx = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm),
-                     optax.adam(cfg.lr))
+    tx = cfg.make_tx()
 
     def sub_state(k, obs_len, act_len):
         net = ActorCritic(act_len, cfg.hidden)
@@ -57,7 +60,9 @@ def init(task, cfg: PPOConfig, key: jax.Array, mesh: Mesh = None):
     ts = CoopTrainState(
         robot=sub_state(k_r, or1 - or0, ar1 - ar0),
         human=sub_state(k_h, oh1 - oh0, ah1 - ah0),
-        key=k_state)
+        key=k_state,
+        obs_rms=ppo.RunningStat.create((task.spec.obs_len,)),
+        ret_rms=ppo.RunningStat.create(()))
 
     keys = jax.random.split(k_env, cfg.num_envs)
     if mesh is not None:
@@ -74,8 +79,7 @@ def make_train_step(task, cfg: PPOConfig, mesh: Mesh = None):
     (or0, or1), (oh0, oh1), (ar0, ar1), (ah0, ah1) = _slices(task)
     net_r = ActorCritic(ar1 - ar0, cfg.hidden)
     net_h = ActorCritic(ah1 - ah0, cfg.hidden)
-    tx = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm),
-                     optax.adam(cfg.lr))
+    tx = cfg.make_tx()
     # same batched-env-step selection as ppo.make_train_step
     if hasattr(task, "step_batched"):
         if mesh is None or mesh.size == 1:
@@ -89,26 +93,29 @@ def make_train_step(task, cfg: PPOConfig, mesh: Mesh = None):
         mean, log_std, value = jax.vmap(lambda o: net.apply(params, o))(obs)
         return mean, log_std, value
 
-    def rollout(ts: CoopTrainState, env_state, obs0):
+    def rollout(ts: CoopTrainState, env_state, obs0, key):
         def body(carry, _):
-            env_state, obs, key = carry
+            env_state, obs, ret, key = carry
             key, kr, kh = jax.random.split(key, 3)
-            obs_r, obs_h = obs[:, or0:or1], obs[:, oh0:oh1]
+            nobs = ts.obs_rms.normalize(obs) if cfg.normalize_obs else obs
+            obs_r, obs_h = nobs[:, or0:or1], nobs[:, oh0:oh1]
             mr, sr, vr = policy_out(net_r, ts.robot.params, obs_r)
             mh, sh_, vh = policy_out(net_h, ts.human.params, obs_h)
             a_r = mr + jax.random.normal(kr, mr.shape, mr.dtype) * jnp.exp(sr)
             a_h = mh + jax.random.normal(kh, mh.shape, mh.dtype) * jnp.exp(sh_)
             action = jnp.concatenate([a_r, a_h], -1)
             env_state, obs_next, reward, done, info = env_step(env_state, action)
+            ret = ret * cfg.gamma + reward
             out = dict(obs_r=obs_r, obs_h=obs_h, a_r=a_r, a_h=a_h,
                        logp_r=_gaussian_logp(mr, sr, a_r),
                        logp_h=_gaussian_logp(mh, sh_, a_h),
-                       v_r=vr, v_h=vh, reward=reward,
-                       success=info["task_success"])
-            return (env_state, obs_next, key), out
+                       v_r=vr, v_h=vh, reward=reward, raw_obs=obs,
+                       ret_carry=ret, success=info["task_success"])
+            return (env_state, obs_next, ret, key), out
 
-        (env_state, last_obs, _), traj = jax.lax.scan(
-            body, (env_state, obs0, ts.key), None, length=cfg.rollout_len)
+        ret0 = jnp.zeros((obs0.shape[0],), jnp.float32)
+        (env_state, last_obs, _, _), traj = jax.lax.scan(
+            body, (env_state, obs0, ret0, key), None, length=cfg.rollout_len)
         return env_state, last_obs, traj
 
     def gae(reward, value, last_value):
@@ -167,22 +174,35 @@ def make_train_step(task, cfg: PPOConfig, mesh: Mesh = None):
                                update_i=sub.update_i + 1), pg.mean())
 
     def train_step(ts: CoopTrainState, env_state):
-        key, k_reset = jax.random.split(ts.key)
-        ts = ts.replace(key=key)
+        # independent subkeys per phase; the stored key is derived once up
+        # front so no stream collides across updates (ADVICE.md round-1 #2)
+        key_next, k_reset, k_roll = jax.random.split(ts.key, 3)
+        ts = ts.replace(key=key_next)
         keys = jax.random.split(k_reset, cfg.num_envs)
         env_state, obs0 = jax.vmap(task.reset)(keys)
-        env_state, last_obs, traj = rollout(ts, env_state, obs0)
-        _, _, lv_r = policy_out(net_r, ts.robot.params, last_obs[:, or0:or1])
-        _, _, lv_h = policy_out(net_h, ts.human.params, last_obs[:, oh0:oh1])
-        adv_r = gae(traj["reward"], traj["v_r"], lv_r)
-        adv_h = gae(traj["reward"], traj["v_h"], lv_h)
+        env_state, last_obs, traj = rollout(ts, env_state, obs0, k_roll)
+        nlast = ts.obs_rms.normalize(last_obs) if cfg.normalize_obs else last_obs
+        _, _, lv_r = policy_out(net_r, ts.robot.params, nlast[:, or0:or1])
+        _, _, lv_h = policy_out(net_h, ts.human.params, nlast[:, oh0:oh1])
+        reward = (ts.ret_rms.scale(traj["reward"]) if cfg.normalize_reward
+                  else traj["reward"])
+        adv_r = gae(reward, traj["v_r"], lv_r)
+        adv_h = gae(reward, traj["v_h"], lv_h)
         robot, pg_r = ppo_update(ts.robot, net_r, traj["obs_r"], traj["a_r"],
                                  traj["logp_r"], traj["v_r"], adv_r,
                                  adv_r + traj["v_r"])
         human, pg_h = ppo_update(ts.human, net_h, traj["obs_h"], traj["a_h"],
                                  traj["logp_h"], traj["v_h"], adv_h,
                                  adv_h + traj["v_h"])
-        ts = CoopTrainState(robot=robot, human=human, key=key)
+        obs_rms, ret_rms = ts.obs_rms, ts.ret_rms
+        if cfg.normalize_obs:
+            T, B = traj["reward"].shape
+            obs_rms = obs_rms.update(
+                traj["raw_obs"].reshape((T * B, traj["raw_obs"].shape[-1])))
+        if cfg.normalize_reward:
+            ret_rms = ret_rms.update(traj["ret_carry"].reshape((-1,)))
+        ts = CoopTrainState(robot=robot, human=human, key=key_next,
+                            obs_rms=obs_rms, ret_rms=ret_rms)
         metrics = dict(pg_loss_robot=pg_r, pg_loss_human=pg_h,
                        mean_return=traj["reward"].sum(0).mean(),
                        success_rate=traj["success"][-1].mean())

@@ -43,6 +43,21 @@ class PPOConfig:
     num_minibatches: int = 8
     max_grad_norm: float = 0.5
     hidden: int = 64
+    # VecNormalize-style running obs/reward normalization (the external
+    # paper-era PPO harness normalized both; decisive for task success)
+    normalize_obs: bool = True
+    normalize_reward: bool = True
+    # linear lr decay to 0 over this many updates (0 = constant lr)
+    total_updates: int = 0
+
+    def make_tx(self):
+        if self.total_updates > 0:
+            total = self.total_updates * self.num_epochs * self.num_minibatches
+            lr = optax.linear_schedule(self.lr, 0.0, total)
+        else:
+            lr = self.lr
+        return optax.chain(optax.clip_by_global_norm(self.max_grad_norm),
+                           optax.adam(lr))
 
 
 class ActorCritic(nn.Module):
@@ -66,11 +81,47 @@ class ActorCritic(nn.Module):
 
 
 @struct.dataclass
+class RunningStat:
+    """Batched Welford/parallel-variance accumulator (VecNormalize rms)."""
+    mean: jax.Array
+    var: jax.Array
+    count: jax.Array
+
+    @staticmethod
+    def create(shape=()):
+        return RunningStat(mean=jnp.zeros(shape, jnp.float32),
+                           var=jnp.ones(shape, jnp.float32),
+                           count=jnp.asarray(1e-4, jnp.float32))
+
+    def update(self, batch: jax.Array) -> "RunningStat":
+        """Fold a [N, ...] batch in (Chan et al. parallel combine)."""
+        n = jnp.asarray(batch.shape[0], jnp.float32)
+        b_mean = batch.mean(0)
+        b_var = batch.var(0)
+        delta = b_mean - self.mean
+        tot = self.count + n
+        mean = self.mean + delta * n / tot
+        m2 = (self.var * self.count + b_var * n
+              + delta ** 2 * self.count * n / tot)
+        return RunningStat(mean=mean, var=m2 / tot, count=tot)
+
+    def normalize(self, x, clip=10.0):
+        return jnp.clip((x - self.mean) / jnp.sqrt(self.var + 1e-8),
+                        -clip, clip)
+
+    def scale(self, x, clip=10.0):
+        """Reward scaling: divide by running std (no mean shift)."""
+        return jnp.clip(x / jnp.sqrt(self.var + 1e-8), -clip, clip)
+
+
+@struct.dataclass
 class TrainState:
     params: Any
     opt_state: Any
     key: jax.Array
     update_i: jax.Array
+    obs_rms: RunningStat = None
+    ret_rms: RunningStat = None
 
 
 def _gaussian_logp(mean, log_std, a):
@@ -84,11 +135,12 @@ def init(task, cfg: PPOConfig, key: jax.Array, mesh: Mesh = None):
     k_params, k_env, k_state = jax.random.split(key, 3)
     obs0 = jnp.zeros((task.spec.obs_len,), jnp.float32)
     params = net.init(k_params, obs0)
-    tx = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm),
-                     optax.adam(cfg.lr))
+    tx = cfg.make_tx()
     opt_state = tx.init(params)
     ts = TrainState(params=params, opt_state=opt_state, key=k_state,
-                    update_i=jnp.zeros((), jnp.int32))
+                    update_i=jnp.zeros((), jnp.int32),
+                    obs_rms=RunningStat.create((task.spec.obs_len,)),
+                    ret_rms=RunningStat.create(()))
 
     keys = jax.random.split(k_env, cfg.num_envs)
     if mesh is not None:
@@ -104,8 +156,7 @@ def init(task, cfg: PPOConfig, key: jax.Array, mesh: Mesh = None):
 
 def make_train_step(task, cfg: PPOConfig, mesh: Mesh = None):
     net = ActorCritic(task.spec.action_len, cfg.hidden)
-    tx = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm),
-                     optax.adam(cfg.lr))
+    tx = cfg.make_tx()
     # Batched env step: the fused Pallas dynamics path when the task provides
     # it.  Under a multi-device mesh the batched step is shard_mapped over
     # the env axis (each device runs the kernel on its local shard — pallas
@@ -119,24 +170,36 @@ def make_train_step(task, cfg: PPOConfig, mesh: Mesh = None):
     else:
         env_step = jax.vmap(task.step)
 
-    def rollout(ts: TrainState, env_state, obs0):
+    def norm_obs(ts: TrainState, obs):
+        return ts.obs_rms.normalize(obs) if cfg.normalize_obs else obs
+
+    def rollout(ts: TrainState, env_state, obs0, key):
         def body(carry, _):
-            env_state, obs, key = carry
+            env_state, obs, ret, key = carry
             key, k_act = jax.random.split(key)
-            mean, log_std, value = jax.vmap(lambda o: net.apply(ts.params, o))(obs)
+            mean, log_std, value = jax.vmap(
+                lambda o: net.apply(ts.params, o))(norm_obs(ts, obs))
             noise = jax.random.normal(k_act, mean.shape, mean.dtype)
             action = mean + noise * jnp.exp(log_std)
             logp = _gaussian_logp(mean, log_std, action)
             env_state, obs_next, reward, done, info = env_step(env_state, action)
+            # per-env discounted return carry, for the reward-scale rms
+            ret = ret * cfg.gamma + reward
             out = dict(obs=obs, action=action, logp=logp, value=value,
-                       reward=reward, success=info["task_success"])
-            return (env_state, obs_next, key), out
+                       reward=reward, ret_carry=ret,
+                       success=info["task_success"])
+            return (env_state, obs_next, ret, key), out
 
-        (env_state, last_obs, _), traj = jax.lax.scan(
-            body, (env_state, obs0, ts.key), None, length=cfg.rollout_len)
+        ret0 = jnp.zeros((obs0.shape[0],), jnp.float32)
+        (env_state, last_obs, _, _), traj = jax.lax.scan(
+            body, (env_state, obs0, ret0, key), None, length=cfg.rollout_len)
         return env_state, last_obs, traj
 
-    def update(ts: TrainState, traj, last_value):
+    def update(ts: TrainState, traj, last_value, key):
+        reward = traj["reward"]
+        if cfg.normalize_reward:
+            reward = ts.ret_rms.scale(reward)
+
         # GAE over the time axis (time-limit truncation -> bootstrap V)
         def gae_body(carry, x):
             adv_next, v_next = carry
@@ -147,13 +210,14 @@ def make_train_step(task, cfg: PPOConfig, mesh: Mesh = None):
 
         (_, _), advs = jax.lax.scan(
             gae_body, (jnp.zeros_like(last_value), last_value),
-            (traj["reward"], traj["value"]), reverse=True)
+            (reward, traj["value"]), reverse=True)
         returns = advs + traj["value"]
         adv_norm = (advs - advs.mean()) / (advs.std() + 1e-8)
 
         T, B = traj["reward"].shape
         flat = jax.tree.map(lambda x: x.reshape((T * B,) + x.shape[2:]),
-                            dict(obs=traj["obs"], action=traj["action"],
+                            dict(obs=norm_obs(ts, traj["obs"]),
+                                 action=traj["action"],
                                  logp=traj["logp"], value=traj["value"],
                                  adv=adv_norm, ret=returns))
 
@@ -191,25 +255,43 @@ def make_train_step(task, cfg: PPOConfig, mesh: Mesh = None):
                 mb_body, (params, opt_state), jnp.arange(cfg.num_minibatches))
             return (params, opt_state, key), aux
 
-        (params, opt_state, key), aux = jax.lax.scan(
-            epoch_body, (ts.params, ts.opt_state, ts.key), None,
+        (params, opt_state, _), aux = jax.lax.scan(
+            epoch_body, (ts.params, ts.opt_state, key), None,
             length=cfg.num_epochs)
         metrics = jax.tree.map(lambda x: x.mean(), aux)
         metrics["mean_return"] = traj["reward"].sum(0).mean()
         metrics["success_rate"] = traj["success"][-1].mean()
-        ts = TrainState(params=params, opt_state=opt_state, key=key,
-                        update_i=ts.update_i + 1)
+
+        # fold this rollout's raw obs / discounted returns into the rms
+        # AFTER the update (VecNormalize order: stats used this update were
+        # the pre-rollout ones for both the rollout and the minibatches)
+        obs_rms, ret_rms = ts.obs_rms, ts.ret_rms
+        if cfg.normalize_obs:
+            obs_rms = obs_rms.update(
+                traj["obs"].reshape((T * B, traj["obs"].shape[-1])))
+        if cfg.normalize_reward:
+            ret_rms = ret_rms.update(traj["ret_carry"].reshape((T * B,)))
+
+        ts = ts.replace(params=params, opt_state=opt_state,
+                        update_i=ts.update_i + 1,
+                        obs_rms=obs_rms, ret_rms=ret_rms)
         return ts, metrics
 
     def train_step(ts: TrainState, env_state):
-        """One full episode rollout + PPO update; envs reset in lockstep."""
-        key, k_reset = jax.random.split(ts.key)
-        ts = ts.replace(key=key)
+        """One full episode rollout + PPO update; envs reset in lockstep.
+
+        Keys: independent subkeys per phase, with the next state's key
+        derived once up front — no stream collision between the rollout's
+        split(key)[0:2] chain and the next update (ADVICE.md round-1 #2).
+        """
+        key_next, k_reset, k_roll, k_upd = jax.random.split(ts.key, 4)
+        ts = ts.replace(key=key_next)
         keys = jax.random.split(k_reset, cfg.num_envs)
         env_state, obs0 = jax.vmap(task.reset)(keys)
-        env_state, last_obs, traj = rollout(ts, env_state, obs0)
-        _, _, last_value = jax.vmap(lambda o: net.apply(ts.params, o))(last_obs)
-        ts, metrics = update(ts, traj, last_value)
+        env_state, last_obs, traj = rollout(ts, env_state, obs0, k_roll)
+        _, _, last_value = jax.vmap(
+            lambda o: net.apply(ts.params, o))(norm_obs(ts, last_obs))
+        ts, metrics = update(ts, traj, last_value, k_upd)
         return ts, env_state, metrics
 
     if mesh is not None:
@@ -227,7 +309,7 @@ def make_train_step(task, cfg: PPOConfig, mesh: Mesh = None):
 def _shard_mapped_step(task, cfg, mesh: Mesh):
     """task.step_batched wrapped in shard_map over the 'env' mesh axis: each
     device steps its local env shard with the fused kernel; no collectives."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     env_spec = P("env")
     state_struct = _state_structure(task)
@@ -241,7 +323,7 @@ def _shard_mapped_step(task, cfg, mesh: Mesh):
 
     return shard_map(task.step_batched, mesh=mesh,
                      in_specs=(state_specs, env_spec),
-                     out_specs=out_specs, check_rep=False)
+                     out_specs=out_specs, check_vma=False)
 
 
 def _env_state_shardings(task, sharding):

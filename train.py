@@ -32,6 +32,11 @@ def parse_args():
     p.add_argument("--num-envs", type=int, default=4096)
     p.add_argument("--rollout-len", type=int, default=200)
     p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--entropy-coef", type=float, default=0.0)
+    p.add_argument("--lr-decay", action="store_true",
+                   help="linear lr decay to 0 over --updates")
+    p.add_argument("--no-norm", action="store_true",
+                   help="disable obs/reward normalization")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log-dir", default=None)
     p.add_argument("--ckpt-dir", default=None)
@@ -56,7 +61,10 @@ def main():
     else:
         num_envs = args.num_envs
     cfg = ppo.PPOConfig(num_envs=num_envs, rollout_len=args.rollout_len,
-                        lr=args.lr)
+                        lr=args.lr, entropy_coef=args.entropy_coef,
+                        normalize_obs=not args.no_norm,
+                        normalize_reward=not args.no_norm,
+                        total_updates=args.updates if args.lr_decay else 0)
     print(f"env={args.env} devices={len(devices)} num_envs={num_envs}")
 
     if args.coop:
