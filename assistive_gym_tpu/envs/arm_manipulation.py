@@ -70,7 +70,7 @@ def build(robot_name: str, human_control: bool) -> "ArmManipulationTask":
     tool_geom_ids = list(range(bed_geom + 1 + n_rg, len(geoms)))
     human_geom_ids = list(range(n_human_geoms))
 
-    G_TL, G_TR, G_ROBOT, G_BED = 0, 1, 2, 3
+    G_TL, G_TR, G_ROBOT, G_BED, G_SELF = 0, 1, 2, 3, 4
     pairs = []
     for k, tgi in enumerate(tool_geom_ids):
         grp = G_TL if k == 0 else G_TR
@@ -82,7 +82,10 @@ def build(robot_name: str, human_control: bool) -> "ArmManipulationTask":
     for hgi in human_geom_ids:
         pairs.append(dict(a=hgi, b=bed_geom, kind=2, group=G_BED,
                           friction=0.5))
-    pt = con.PairTable.build(pairs, ngroups=4)
+    q0 = np.asarray(base.default_robot_q(robot, info, task, robot_name))
+    pairs += robots_mod.self_collision_pairs(
+        robot, rg, robot_geom_ids, q0, G_SELF)
+    pt = con.PairTable.build(pairs, ngroups=5)
     pt = con.tuned_pairs(gs, pt, np.concatenate([human_model.mass, robot.mass]), 0.02)
 
     # both-arm dof list (duplicated for single-arm robots, env.py:97)
@@ -101,7 +104,7 @@ def build(robot_name: str, human_control: bool) -> "ArmManipulationTask":
         human_controllable=CONTROLLABLE,
         geoms=gs, pairs=pt,
         groups={"tool_left": G_TL, "tool_right": G_TR, "robot": G_ROBOT,
-                "bed": G_BED},
+                "bed": G_BED, "self": G_SELF},
         n_human_links=Lh,
         gravity_robot=(0.0, 0.0, 0.0),                  # arm_manipulation.py:203-204
         gravity_human=(0.0, 0.0, -9.81),

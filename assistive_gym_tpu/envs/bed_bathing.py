@@ -89,7 +89,7 @@ def build(robot_name: str, human_control: bool) -> "BedBathingTask":
     tool_geom_ids = list(range(bed_geom + 1 + n_rg, len(geoms)))
     human_geom_ids = list(range(n_human_geoms))
 
-    GROUP_TOOL_HUMAN, GROUP_ROBOT_HUMAN, GROUP_BED = 0, 1, 2
+    GROUP_TOOL_HUMAN, GROUP_ROBOT_HUMAN, GROUP_BED, G_SELF = 0, 1, 2, 3
     pairs = []
     pad_pair_mask = []   # pairs whose geom-a is the wiper pad (tool link 1)
     for tgi_local, tgi in enumerate(tool_geom_ids):
@@ -107,7 +107,12 @@ def build(robot_name: str, human_control: bool) -> "BedBathingTask":
         pairs.append(dict(a=hgi, b=bed_geom, kind=2, group=GROUP_BED,
                           friction=1.0))           # bed friction=5 then 0.3
         pad_pair_mask.append(False)
-    pt = con.PairTable.build(pairs, ngroups=3)
+    q0 = np.asarray(base.default_robot_q(robot, info, task, robot_name))
+    self_pairs = robots_mod.self_collision_pairs(
+        robot, rg, robot_geom_ids, q0, G_SELF)
+    pairs += self_pairs
+    pad_pair_mask += [False] * len(self_pairs)
+    pt = con.PairTable.build(pairs, ngroups=4)
     pt = con.tuned_pairs(gs, pt, np.concatenate([human_model.mass, robot.mass]), 0.02)
 
     robot_active = np.zeros(robot.ndof, bool)
@@ -124,7 +129,7 @@ def build(robot_name: str, human_control: bool) -> "BedBathingTask":
         human_controllable=CONTROLLABLE,
         geoms=gs, pairs=pt,
         groups={"tool_human": GROUP_TOOL_HUMAN, "robot_human": GROUP_ROBOT_HUMAN,
-                "bed": GROUP_BED},
+                "bed": GROUP_BED, "self": G_SELF},
         n_human_links=Lh,
         gravity_robot=(0.0, 0.0, 0.0),                      # bed_bathing.py:156-157
         gravity_human=(0.0, 0.0, -1.0),

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import config as cfgmod
+from ..models import furniture as furn_mod
 from ..models import human as hm
 from ..models import robots as robots_mod
 from ..ops import cloth as cloth_mod
@@ -53,14 +54,32 @@ def build(robot_name: str, human_control: bool) -> "DressingTask":
         g = dict(g)
         g["link"] = g["link"] + Lh
         geoms.append(g)
+    robot_geom_ids = list(range(n_human_geoms, len(geoms)))
+
+    # wheelchair rigid collision (VERDICT #3; world_creation.py:35-43)
+    furn = furn_mod.wheelchair_geoms()
+    furn_ids = list(range(len(geoms), len(geoms) + len(furn)))
+    geoms += furn
     gs = con.GeomSet.build(geoms)
 
-    GROUP_ROBOT_HUMAN = 0
+    GROUP_ROBOT_HUMAN, G_SCENE, G_SELF = 0, 1, 2
     pairs = []
-    for rgi in range(n_human_geoms, len(geoms)):
+    for rgi in robot_geom_ids:
         for hgi in range(n_human_geoms):
             pairs.append(dict(a=rgi, b=hgi, kind=0, group=GROUP_ROBOT_HUMAN))
-    pt = con.PairTable.build(pairs, ngroups=1)
+    q0 = np.asarray(base.default_robot_q(robot, info, task, robot_name))
+    if robot_name == "jaco":
+        jb = dict(base_pos=(0.35, -0.27, 0.36),
+                  base_quat=(0.0, 0.0, 0.0, 1.0))
+        pairs += base.furniture_pairs(
+            geoms, robot_geom_ids, furn_ids, G_SCENE,
+            robot=robot, default_q=q0, n_human_links=Lh, **jb)
+    else:
+        pairs += base.furniture_pairs(geoms, robot_geom_ids, furn_ids, G_SCENE)
+    pairs += robots_mod.self_collision_pairs(
+        robot, rg, robot_geom_ids, q0, G_SELF)
+    self_check = robots_mod.make_self_check(robot, rg, q0)
+    pt = con.PairTable.build(pairs, ngroups=3)
     pt = con.tuned_pairs(gs, pt, np.concatenate([human_model.mass, robot.mass]), 0.01)
 
     robot_active = np.zeros(robot.ndof, bool)
@@ -76,7 +95,9 @@ def build(robot_name: str, human_control: bool) -> "DressingTask":
         arm_dofs=arm_dofs, robot_active=robot_active,
         human_controllable=CONTROLLABLE,
         geoms=gs, pairs=pt,
-        groups={"robot_human": GROUP_ROBOT_HUMAN},
+        groups={"robot_human": GROUP_ROBOT_HUMAN,
+                "scene": G_SCENE, "self": G_SELF},
+        extras={"self_check": self_check},
         n_human_links=Lh,
         gravity_robot=(0.0, 0.0, 0.0),                      # dressing.py:193-196
         gravity_human=(0.0, 0.0, -1.0),
@@ -85,6 +106,7 @@ def build(robot_name: str, human_control: bool) -> "DressingTask":
         human_params_mf=(base.static_human_params("male", cloth=True),
                          base.static_human_params("female", cloth=True)),
         substep_hook=_cloth_substep,
+        substep_hook_batched=_cloth_substep_b,
     )
     return DressingTask(spec)
 
@@ -98,6 +120,24 @@ def _cloth_substep(spec, state, aux, fk_h, fk_r, dt):
     st, cf, cp = cloth_mod.substep(st, dt, (0.0, 0.0, -9.81), anchor_pos, a, b, r)
     return dict(aux, cloth_x=st.x, cloth_v=st.v,
                 cloth_contact_force=cf, cloth_contact_pos=cp)
+
+
+def _cloth_substep_b(spec, states, aux, hpos, hquat, rpos, rquat,
+                     p0_bl, p1_bl, rad_bl, contacts, dt):
+    """Batch-last cloth hook for the zero-transpose loop (VERDICT round-1
+    weak #3): cloth in [V,3,B] layout via cloth_mod.substep_b; the human
+    capsule world segments are reused from the substep's ContactB."""
+    T = lambda a: jnp.transpose(a, (1, 2, 0))             # [B,V,3]->[V,3,B]
+    Tb = lambda a: jnp.transpose(a, (2, 0, 1))
+    ee = rpos[spec.tool_tip_link]                         # [3,B]
+    anchor_pos = ee[None] + T(aux["anchor_offsets"])      # [A,3,B]
+    nhg = spec.human_params_mf[0]["geom_p0"].shape[0]
+    seg_a, seg_b = contacts.w0[:nhg], contacts.w1[:nhg]   # [G,3,B]
+    x, v, cf, cp = cloth_mod.substep_b(
+        T(aux["cloth_x"]), T(aux["cloth_v"]), dt, (0.0, 0.0, -9.81),
+        anchor_pos, seg_a, seg_b, rad_bl[:nhg])
+    return dict(aux, cloth_x=Tb(x), cloth_v=Tb(v),
+                cloth_contact_force=cf.T, cloth_contact_pos=Tb(cp))
 
 
 def _human_segments_cloth(spec, state, fk_h):
@@ -161,7 +201,11 @@ class DressingTask:
             res = ik_mod.ik_random_restarts(
                 k_ik, spec.robot, ee, target_pos_ik, tq, rq, spec.arm_dofs,
                 robot_base_pos, robot_base_quat, rl, ru,
-                restarts=20, iters=40, pos_threshold=0.03)
+                restarts=20, iters=40, pos_threshold=0.03,
+                collision_penalty=(
+                    None if spec.extras.get("self_check") is None else
+                    lambda q: spec.extras["self_check"](
+                        q, robot_base_pos, robot_base_quat)))
             rq = res.q
         else:
             if spec.robot_name == "pr2":

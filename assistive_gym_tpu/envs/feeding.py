@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import config as cfgmod
+from ..models import furniture as furn_mod
 from ..models import human as hm
 from ..models import robots as robots_mod
 from ..ops import ik as ik_mod
@@ -51,14 +52,23 @@ def build(robot_name: str, human_control: bool) -> "FeedingTask":
         g = dict(g)
         g["link"] = g["link"] + Lh
         geoms.append(g)
-    gs = con.GeomSet.build(geoms)
 
     n_rg = len(rg)
     tool_geom_ids = list(range(n_human_geoms + n_rg, len(geoms)))
     robot_geom_ids = list(range(n_human_geoms, n_human_geoms + n_rg))
     human_geom_ids = list(range(n_human_geoms))
 
-    GROUP_TOOL_HUMAN, GROUP_ROBOT_HUMAN = 0, 1
+    # furniture rigid collision (VERDICT #3): wheelchair boxes + tall table
+    # + bowl (feeding.py:124-131, world_creation.py:35-43); the bowl geom's
+    # centre is overridden per-env at reset (randomized bowl position)
+    furn = (furn_mod.wheelchair_geoms() + furn_mod.table_tall_geoms()
+            + furn_mod.bowl_geoms())
+    furn_ids = list(range(len(geoms), len(geoms) + len(furn)))
+    geoms += furn
+    bowl_gid = furn_ids[-1]
+    gs = con.GeomSet.build(geoms)
+
+    GROUP_TOOL_HUMAN, GROUP_ROBOT_HUMAN, G_SCENE, G_SELF = 0, 1, 2, 3
     pairs = []
     for tgi in tool_geom_ids:
         for hgi in human_geom_ids:
@@ -66,7 +76,23 @@ def build(robot_name: str, human_control: bool) -> "FeedingTask":
     for rgi in robot_geom_ids:
         for hgi in human_geom_ids:
             pairs.append(dict(a=rgi, b=hgi, kind=0, group=GROUP_ROBOT_HUMAN))
-    pt = con.PairTable.build(pairs, ngroups=2)
+    # tool/arm vs furniture, prefiltered by reset-pose clearance for the
+    # wheelchair-mounted jaco (fixed base; other robots' base varies per env)
+    q0 = np.asarray(base.default_robot_q(robot, info, task, robot_name))
+    if robot_name == "jaco":
+        jb = dict(base_pos=(-0.35, -0.27, 0.36),
+                  base_quat=tuple(np.asarray(m3.quat_from_euler(
+                      jnp.asarray([0, 0, -math.pi / 2], f32))).tolist()))
+        pairs += base.furniture_pairs(
+            geoms, tool_geom_ids + robot_geom_ids, furn_ids, G_SCENE,
+            robot=robot, default_q=q0, n_human_links=Lh, **jb)
+    else:
+        pairs += base.furniture_pairs(
+            geoms, tool_geom_ids + robot_geom_ids, furn_ids, G_SCENE)
+    pairs += robots_mod.self_collision_pairs(
+        robot, rg, robot_geom_ids, q0, G_SELF)
+    self_check = robots_mod.make_self_check(robot, rg, q0)
+    pt = con.PairTable.build(pairs, ngroups=4)
     pt = con.tuned_pairs(gs, pt, np.concatenate([human_model.mass, robot.mass]), 0.01)
 
     robot_active = np.zeros(robot.ndof, bool)
@@ -82,7 +108,9 @@ def build(robot_name: str, human_control: bool) -> "FeedingTask":
         arm_dofs=arm_dofs, robot_active=robot_active,
         human_controllable=CONTROLLABLE,
         geoms=gs, pairs=pt,
-        groups={"tool_human": GROUP_TOOL_HUMAN, "robot_human": GROUP_ROBOT_HUMAN},
+        groups={"tool_human": GROUP_TOOL_HUMAN, "robot_human": GROUP_ROBOT_HUMAN,
+                "scene": G_SCENE, "self": G_SELF},
+        extras={"bowl_gid": bowl_gid, "self_check": self_check},
         n_human_links=Lh,
         gravity_robot=(0.0, 0.0, 0.0),                      # feeding.py:171-173
         gravity_human=(0.0, 0.0, 0.0),
@@ -204,7 +232,11 @@ class FeedingTask:
             res = ik_mod.ik_random_restarts(
                 k_ik, spec.robot, ee, target_pos_ik, tq, rq, spec.arm_dofs,
                 robot_base_pos, robot_base_quat, rl, ru,
-                restarts=20, iters=40, pos_threshold=0.03)
+                restarts=20, iters=40, pos_threshold=0.03,
+                collision_penalty=(
+                    None if spec.extras.get("self_check") is None else
+                    lambda q: spec.extras["self_check"](
+                        q, robot_base_pos, robot_base_quat)))
             rq = res.q
         else:
             if spec.robot_name == "pr2":
@@ -248,6 +280,9 @@ class FeedingTask:
             ),
         )
         p0, p1, rad = base.scene_geom_state(spec, hp)
+        # bowl collision box follows the per-env randomized bowl position
+        bowl_center = bowl_pos + jnp.asarray([0.0, 0.0, 0.03], f32)
+        p0 = p0.at[spec.extras["bowl_gid"]].set(bowl_center)
         state = state.replace(geom_p0=p0, geom_p1=p1, geom_radius=rad)
 
         # spawn food above the scoop and let it settle into it

@@ -15,6 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import config as cfgmod
+from ..models import furniture as furn_mod
 from ..models import human as hm
 from ..models import robots as robots_mod
 from ..ops import geometry as geo
@@ -46,14 +47,19 @@ def build(robot_name: str, human_control: bool) -> "ScratchItchTask":
         g = dict(g)
         g["link"] = g["link"] + Lh                  # global link ids
         geoms.append(g)
-    gs = con.GeomSet.build(geoms)
 
     n_rg = len(rg)
     tool_geom_ids = list(range(n_human_geoms + n_rg, len(geoms)))
     robot_geom_ids = list(range(n_human_geoms, n_human_geoms + n_rg))
     human_geom_ids = list(range(n_human_geoms))
 
-    GROUP_TOOL_HUMAN, GROUP_ROBOT_HUMAN = 0, 1
+    # wheelchair rigid collision (VERDICT #3; world_creation.py:35-43)
+    furn = furn_mod.wheelchair_geoms()
+    furn_ids = list(range(len(geoms), len(geoms) + len(furn)))
+    geoms += furn
+    gs = con.GeomSet.build(geoms)
+
+    GROUP_TOOL_HUMAN, GROUP_ROBOT_HUMAN, G_SCENE, G_SELF = 0, 1, 2, 3
     pairs = []
     at_target_mask = []
     for tgi_local, tgi in enumerate(tool_geom_ids):
@@ -68,7 +74,22 @@ def build(robot_name: str, human_control: bool) -> "ScratchItchTask":
             pairs.append(dict(a=rgi, b=hgi, kind=0, group=GROUP_ROBOT_HUMAN,
                               friction=0.5))
             at_target_mask.append(False)
-    pt = con.PairTable.build(pairs, ngroups=2)
+    q0 = np.asarray(base.default_robot_q(robot, info, task, robot_name))
+    if robot_name == "jaco":
+        jb = dict(base_pos=(-0.35, -0.27, 0.36),
+                  base_quat=tuple(np.asarray(m3.quat_from_euler(
+                      jnp.asarray([0, 0, -math.pi / 2], f32))).tolist()))
+        pairs += base.furniture_pairs(
+            geoms, tool_geom_ids + robot_geom_ids, furn_ids, G_SCENE,
+            robot=robot, default_q=q0, n_human_links=Lh, **jb)
+    else:
+        pairs += base.furniture_pairs(
+            geoms, tool_geom_ids + robot_geom_ids, furn_ids, G_SCENE)
+    pairs += robots_mod.self_collision_pairs(
+        robot, rg, robot_geom_ids, q0, G_SELF)
+    self_check = robots_mod.make_self_check(robot, rg, q0)
+    at_target_mask += [False] * (len(pairs) - len(at_target_mask))
+    pt = con.PairTable.build(pairs, ngroups=4)
     pt = con.tuned_pairs(gs, pt, np.concatenate([human_model.mass, robot.mass]), 0.02)
 
     robot_active = np.zeros(robot.ndof, bool)
@@ -84,7 +105,9 @@ def build(robot_name: str, human_control: bool) -> "ScratchItchTask":
         arm_dofs=arm_dofs, robot_active=robot_active,
         human_controllable=CONTROLLABLE,
         geoms=gs, pairs=pt,
-        groups={"tool_human": GROUP_TOOL_HUMAN, "robot_human": GROUP_ROBOT_HUMAN},
+        groups={"tool_human": GROUP_TOOL_HUMAN, "robot_human": GROUP_ROBOT_HUMAN,
+                "scene": G_SCENE, "self": G_SELF},
+        extras={"self_check": self_check},
         n_human_links=Lh,
         gravity_robot=(0.0, 0.0, 0.0),                      # scratch_itch.py:139-140
         gravity_human=(0.0, 0.0, -1.0),
@@ -154,7 +177,11 @@ class ScratchItchTask:
             res = ik_mod.ik_random_restarts(
                 k_ik, spec.robot, ee, target_pos_ik, target_quat_ik, rq,
                 spec.arm_dofs, robot_base_pos, robot_base_quat, rl, ru,
-                restarts=20, iters=40, pos_threshold=0.03)
+                restarts=20, iters=40, pos_threshold=0.03,
+                collision_penalty=(
+                    None if spec.extras.get("self_check") is None else
+                    lambda q: spec.extras["self_check"](
+                        q, robot_base_pos, robot_base_quat)))
             rq = res.q
         else:
             target_pos_ik = (jnp.asarray([-0.55, 0.0, 0.8], f32)

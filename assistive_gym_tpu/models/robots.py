@@ -178,6 +178,105 @@ def robot_capsules(model: pm.ArticulatedModel, links: Sequence[int],
     return geoms
 
 
+def _self_capsule_index_pairs(model: pm.ArticulatedModel, rg: List[dict],
+                              default_q) -> List[tuple]:
+    """Indices (i, j) into `rg` of the robot self-collision capsule pairs:
+    links at tree distance >= 2 whose capsules are separated by > 2 cm at
+    the task's reset configuration (the static analog of Bullet's
+    "no initial contact" behavior under URDF_USE_SELF_COLLISION)."""
+    import jax.numpy as jnp
+    from ..physics import kinematics as kin
+    from ..ops import math3d as m3
+
+    fk = kin.fk(model, jnp.asarray(default_q, jnp.float32),
+                jnp.zeros(3, jnp.float32),
+                jnp.asarray([0, 0, 0, 1], jnp.float32))
+    pos, quat = np.asarray(fk.pos), np.asarray(fk.quat)
+
+    def chain(l):
+        out = []
+        while l >= 0:
+            out.append(l)
+            l = int(model.parent[l])
+        return out
+
+    def tree_dist(i, j):
+        ci, cj = chain(i), chain(j)
+        si = {l: d for d, l in enumerate(ci)}
+        for d, l in enumerate(cj):
+            if l in si:
+                return d + si[l]
+        return len(ci) + len(cj)
+
+    def world_seg(g):
+        l = g["link"]
+        R = np.asarray(m3.quat_to_mat(jnp.asarray(quat[l])))
+        w0 = pos[l] + R @ np.asarray(g.get("p0", (0, 0, 0)), np.float64)
+        w1 = pos[l] + R @ np.asarray(g.get("p1", g.get("p0", (0, 0, 0))),
+                                     np.float64)
+        return w0, w1
+
+    def seg_dist(p0, p1, q0, q1):
+        ts = np.linspace(0, 1, 17)
+        pa = p0[None] + ts[:, None] * (p1 - p0)[None]
+        pb = q0[None] + ts[:, None] * (q1 - q0)[None]
+        return np.linalg.norm(pa[:, None] - pb[None], axis=-1).min()
+
+    out = []
+    for ii in range(len(rg)):
+        for jj in range(ii + 1, len(rg)):
+            li, lj = rg[ii]["link"], rg[jj]["link"]
+            if li == lj or tree_dist(li, lj) < 2:
+                continue
+            (a0, a1), (b0, b1) = world_seg(rg[ii]), world_seg(rg[jj])
+            clearance = seg_dist(a0, a1, b0, b1) - (rg[ii]["radius"]
+                                                   + rg[jj]["radius"])
+            if clearance > 0.02:
+                out.append((ii, jj))
+    return out
+
+
+def self_collision_pairs(model: pm.ArticulatedModel, rg: List[dict],
+                         geom_ids: Sequence[int], default_q,
+                         group: int) -> List[dict]:
+    """Robot self-collision pair table (URDF_USE_SELF_COLLISION parity,
+    reference world_creation.py:161,205,231,260)."""
+    return [dict(a=geom_ids[ii], b=geom_ids[jj], kind=0, group=group)
+            for ii, jj in _self_capsule_index_pairs(model, rg, default_q)]
+
+
+def make_self_check(model: pm.ArticulatedModel, rg: List[dict], default_q):
+    """Jittable fn(q, base_pos, base_quat) -> max self-penetration depth (m)
+    over the robot's self-collision capsule pairs.  Used by the IK restart
+    selection to reject self-colliding reset solutions — the reference
+    retries IK when the arm is in self-contact (util.py:22-25, 44-47)."""
+    import jax.numpy as jnp
+    from ..physics import kinematics as kin
+    from ..ops import math3d as m3
+    from ..ops import collision as col
+
+    idx = _self_capsule_index_pairs(model, rg, default_q)
+    if not idx:
+        return None
+    ii = np.array([i for i, _ in idx], np.int32)
+    jj = np.array([j for _, j in idx], np.int32)
+    links = np.array([g["link"] for g in rg], np.int32)
+    p0 = np.array([g.get("p0", (0, 0, 0)) for g in rg], np.float32)
+    p1 = np.array([g.get("p1", g.get("p0", (0, 0, 0))) for g in rg], np.float32)
+    rad = np.array([g.get("radius", 0.0) for g in rg], np.float32)
+
+    def fn(q, base_pos, base_quat):
+        fk = kin.fk(model, q, base_pos, base_quat)
+        lp, lq = fk.pos[links], fk.quat[links]
+        w0 = lp + m3.quat_rotate(lq, jnp.asarray(p0))
+        w1 = lp + m3.quat_rotate(lq, jnp.asarray(p1))
+        d, _, _ = col.capsule_capsule(w0[ii], w1[ii], jnp.asarray(rad)[ii],
+                                      w0[jj], w1[jj], jnp.asarray(rad)[jj])
+        return jnp.maximum(-d, 0.0).max()
+
+    return fn
+
+
 # ---------------------------------------------------------------- tool geoms
 
 def tool_geoms(task: str, tool_base_link: int) -> List[dict]:

@@ -119,3 +119,72 @@ def substep(
     contact_force = depth_g * FORCE_PER_DEPTH
     contact_pos = x
     return ClothState(x, v), contact_force, contact_pos
+
+
+def substep_b(
+    x: jnp.ndarray,               # f32[V,3,B] vertex positions (batch-last)
+    v: jnp.ndarray,               # f32[V,3,B]
+    dt: float,
+    gravity,
+    anchor_pos: jnp.ndarray,      # f32[A,3,B]
+    seg_a: jnp.ndarray,           # human capsules [G,3,B] (batch-last)
+    seg_b: jnp.ndarray,
+    seg_r: jnp.ndarray,           # [G,B]
+    iters: int = 5,
+    damping: float = 0.999,
+    stiffness: float = 0.3,
+    cloth_thickness: float = 0.012,
+):
+    """Batch-last PBD substep: same math as `substep`, every array
+    [rows, ..., B] so the env batch rides the TPU lane axis (the vmapped
+    form pads the [B,V,G] collision tensor's trailing dims onto (8,128)
+    tiles — a ~6x memory blowup this layout avoids).  Returns
+    (x', v', contact_force [V,B], contact_pos [V,3,B])."""
+    g = gown_np()
+    e0 = jnp.asarray(g["edges"][:, 0])
+    e1 = jnp.asarray(g["edges"][:, 1])
+    rest = jnp.asarray(g["rest"])[:, None] * 1.4            # [E,1]
+    anchors = jnp.asarray(g["anchors"])
+    V = x.shape[0]
+    deg = np.zeros(V, np.float32)
+    np.add.at(deg, g["edges"][:, 0], 1.0)
+    np.add.at(deg, g["edges"][:, 1], 1.0)
+    degj = jnp.asarray(np.maximum(deg, 1.0))[:, None, None]  # [V,1,1]
+
+    grav = jnp.asarray(gravity, x.dtype)[None, :, None]      # [1,3,1]
+    x_prev = x
+    v = v * damping + grav * dt
+    x = x + v * dt
+    x = x.at[anchors].set(anchor_pos)
+
+    for _ in range(iters):
+        d = x[e0] - x[e1]                                    # [E,3,B]
+        L = jnp.sqrt(jnp.maximum(jnp.sum(d * d, 1), 1e-18))  # [E,B]
+        n = d / L[:, None]
+        corr = (stiffness * (rest - L))[:, None] * n         # [E,3,B]
+        dx = (jnp.zeros_like(x).at[e0].add(0.5 * corr)
+              .at[e1].add(-0.5 * corr))
+        x = x + dx / degj
+        x = x.at[anchors].set(anchor_pos)
+
+    # collision with human capsules: [V,G,B] distance field, deepest wins
+    ab = seg_b - seg_a                                       # [G,3,B]
+    ap = x[:, None] - seg_a[None]                            # [V,G,3,B]
+    t = jnp.clip(jnp.sum(ap * ab[None], 2)
+                 / jnp.maximum(jnp.sum(ab * ab, 1), 1e-9)[None], 0.0, 1.0)
+    closest = seg_a[None] + t[:, :, None] * ab[None]         # [V,G,3,B]
+    dvec = x[:, None] - closest
+    dist2 = jnp.sum(dvec * dvec, 2)                          # [V,G,B]
+    dist = jnp.sqrt(jnp.maximum(dist2, 1e-18))
+    depth = (seg_r[None] + cloth_thickness) - dist           # [V,G,B]
+    gi = jnp.argmax(depth, axis=1)                           # [V,B]
+    depth_g = jnp.maximum(jnp.max(depth, axis=1), 0.0)       # [V,B]
+    nrm = jnp.take_along_axis(dvec, gi[:, None, None], 1)[:, 0]   # [V,3,B]
+    nrm = nrm / jnp.maximum(
+        jnp.sqrt(jnp.maximum(jnp.sum(nrm * nrm, 1), 1e-18)), 1e-9)[:, None]
+    x = x + depth_g[:, None] * nrm
+    # floor
+    x = x.at[:, 2].set(jnp.maximum(x[:, 2], 0.01))
+
+    v = (x - x_prev) / dt
+    return x, v, depth_g * FORCE_PER_DEPTH, x

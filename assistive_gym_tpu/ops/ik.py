@@ -109,10 +109,16 @@ def ik_random_restarts(
     iters: int = 40,
     pos_threshold: float = 0.03,
     origin_xyz=None,
+    collision_penalty=None,
 ) -> IKResult:
     """All restarts in parallel (vmap), best-by-position-error selection —
     semantics of util.ik_random_restarts (util.py:13-36) without the serial
-    loop."""
+    loop.
+
+    collision_penalty: optional fn(q) -> penetration depth (m).  Solutions
+    in (self-)collision are deprioritized exactly like the reference's
+    retry-on-self-contact loop (util.py:22-25): a colliding restart only
+    wins when every restart collides."""
     arm = np.asarray(arm_dofs, np.int32)
     unlimited = upper < lower
     lo = jnp.where(unlimited, -2 * jnp.pi, lower)
@@ -128,6 +134,9 @@ def ik_random_restarts(
     )(q_inits)
     # prefer successful solutions, then smallest position error
     score = res.pos_err + jnp.where(res.success, 0.0, 1e3)
+    if collision_penalty is not None:
+        pen = jax.vmap(collision_penalty)(res.q)
+        score = score + jnp.where(pen > 1e-3, 1e2, 0.0)
     best = jnp.argmin(score)
     return IKResult(res.q[best], res.pos_err[best], res.orient_err[best],
                     res.success[best])

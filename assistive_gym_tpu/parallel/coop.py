@@ -64,13 +64,16 @@ def init(task, cfg: PPOConfig, key: jax.Array, mesh: Mesh = None):
         obs_rms=ppo.RunningStat.create((task.spec.obs_len,)),
         ret_rms=ppo.RunningStat.create(()))
 
-    keys = jax.random.split(k_env, cfg.num_envs)
     if mesh is not None:
+        from . import distributed as dist
         sh = NamedSharding(mesh, P("env"))
-        keys = jax.device_put(keys, sh)
-        env_state, _ = jax.jit(jax.vmap(task.reset))(keys)
-        env_state = jax.device_put(env_state, jax.tree.map(lambda _: sh, env_state))
+        keys = dist.make_global(
+            np.asarray(jax.random.split(k_env, cfg.num_envs)), mesh)
+        state_shardings = ppo._env_state_shardings(task, sh)
+        env_state, _ = jax.jit(jax.vmap(task.reset),
+                               out_shardings=(state_shardings, sh))(keys)
     else:
+        keys = jax.random.split(k_env, cfg.num_envs)
         env_state, _ = jax.jit(jax.vmap(task.reset))(keys)
     return ts, env_state
 

@@ -142,14 +142,20 @@ def init(task, cfg: PPOConfig, key: jax.Array, mesh: Mesh = None):
                     obs_rms=RunningStat.create((task.spec.obs_len,)),
                     ret_rms=RunningStat.create(()))
 
-    keys = jax.random.split(k_env, cfg.num_envs)
     if mesh is not None:
+        # multi-host-safe placement: every process derives the same key
+        # array from the shared seed and materializes only its addressable
+        # shards; reset runs as one pjit over the global mesh so EnvState
+        # is born sharded (no host->device round trip)
+        from . import distributed as dist
         sh = NamedSharding(mesh, P("env"))
-        keys = jax.device_put(keys, sh)
-        env_state, _ = jax.jit(jax.vmap(task.reset))(keys)
-        # every EnvState leaf has a leading env axis: pin it to the mesh
-        env_state = jax.device_put(env_state, jax.tree.map(lambda _: sh, env_state))
+        keys = dist.make_global(
+            np.asarray(jax.random.split(k_env, cfg.num_envs)), mesh)
+        state_shardings = _env_state_shardings(task, sh)
+        env_state, _ = jax.jit(jax.vmap(task.reset),
+                               out_shardings=(state_shardings, sh))(keys)
     else:
+        keys = jax.random.split(k_env, cfg.num_envs)
         env_state, _ = jax.jit(jax.vmap(task.reset))(keys)
     return ts, env_state
 

@@ -10,8 +10,9 @@ The layouts dovetail with ops/pallas_dynamics.py: the FK kernel's
 arrays, and the wrench output [ns, B] is exactly the dynamics kernel's tau
 input — the whole loop runs without a single transpose.
 
-Supports the pair kinds the tasks actually use (seg-seg and plane; no task
-has box pairs — verified over all 6).  Semantics match contact.evaluate /
+Supports all three pair kinds: seg-seg, seg-plane, and seg-box (the box
+side restricted to world-static axis-aligned furniture,
+models/furniture.py).  Semantics match contact.evaluate /
 kinematics.link_velocities / link_wrenches_to_joint_torques.
 """
 from __future__ import annotations
@@ -89,7 +90,15 @@ def evaluate_batched(
     radius: jnp.ndarray,      # [G, B]
 ) -> ContactB:
     kinds = set(np.unique(pt.kind).tolist())
-    assert kinds <= {0, 2}, f"batch-last path supports seg/plane only, got {kinds}"
+    assert kinds <= {0, 1, 2}, f"unsupported pair kinds {kinds}"
+    if 1 in kinds:
+        # batch-last seg-box is specialized to world-static axis-aligned
+        # boxes (furniture: models/furniture.py); link-attached/rotated
+        # boxes would need the oriented ternary of ops/collision.capsule_box
+        box_b = pt.b[pt.kind == 1]
+        assert (gs.link[box_b] < 0).all(), "kind-1 box side must be world-static"
+        assert np.allclose(gs.quat[box_b], [0, 0, 0, 1]), \
+            "kind-1 boxes must be axis-aligned"
     L = link_pos.shape[0]
     B = link_pos.shape[-1]
     f32 = link_pos.dtype
@@ -152,6 +161,8 @@ def evaluate_batched(
     off = rb + 0.5 * dist_ss
     point_ss = _add(pb, _scale(off, normal))
 
+    dist = dist_ss
+    point = point_ss
     if 2 in kinds:
         # capsule vs half-space: b0 = plane point, b1 = unit normal
         plane_off = _dot(b0, b1)
@@ -164,13 +175,57 @@ def evaluate_batched(
         pr = _dot(pp, b1) - plane_off
         point_pl = _sub(pp, _scale(pr, b1))
         kp = jnp.asarray(pt.kind == 2, f32)[:, None]
-        dist = kp * dist_pl + (1.0 - kp) * dist_ss
+        dist = kp * dist_pl + (1.0 - kp) * dist
         normal = [kp * n2 + (1.0 - kp) * n1 for n1, n2 in zip(normal, b1)]
         point = [kp * p2 + (1.0 - kp) * p1_
-                 for p1_, p2 in zip(point_ss, point_pl)]
-    else:
-        dist = dist_ss
-        point = point_ss
+                 for p1_, p2 in zip(point, point_pl)]
+    if 1 in kinds:
+        # capsule vs world-static AABB: b0 = box centre ([P,B] per-env for
+        # the bowl), half = static extents.  Ternary search localizes the
+        # closest segment point (outside-distance is convex along t), then
+        # point-AABB gives dist/normal incl. the inside (negative) case.
+        half = [jnp.asarray(gs.half[pt.b][:, c], np.float32)[:, None]
+                for c in range(3)]
+        seg = _sub(a1, a0)
+
+        def out2_at(t):
+            p = _add(a0, _scale(t, seg))
+            q = [jnp.maximum(jnp.abs(pc - cc) - hc, 0.0)
+                 for pc, cc, hc in zip(p, b0, half)]
+            return _dot(q, q)
+
+        lo = jnp.zeros_like(dist_ss)
+        hi = jnp.ones_like(dist_ss)
+        for _ in range(10):
+            m1 = lo + (hi - lo) / 3.0
+            m2 = hi - (hi - lo) / 3.0
+            gt = out2_at(m1) > out2_at(m2)
+            lo = jnp.where(gt, m1, lo)
+            hi = jnp.where(gt, hi, m2)
+        tb_ = 0.5 * (lo + hi)
+        p = _add(a0, _scale(tb_, seg))
+        dax = [jnp.abs(pc - cc) - hc for pc, cc, hc in zip(p, b0, half)]
+        sgn = [jnp.sign(pc - cc) for pc, cc in zip(p, b0)]
+        qout = [jnp.maximum(c, 0.0) for c in dax]
+        d_out = jnp.sqrt(jnp.maximum(_dot(qout, qout), _EPS * _EPS))
+        outside = (jnp.maximum(jnp.maximum(dax[0], dax[1]), dax[2]) > 0.0)
+        # inside: face of least penetration
+        d_in = jnp.maximum(jnp.maximum(dax[0], dax[1]), dax[2])
+        ax_in = [(dax[c] >= d_in - 1e-9).astype(f32) for c in range(3)]
+        ax_norm = jnp.maximum(ax_in[0] + ax_in[1] + ax_in[2], 1.0)
+        n_out = [q * s / d_out for q, s in zip(qout, sgn)]
+        n_in = [a / ax_norm * s for a, s in zip(ax_in, sgn)]
+        n_box = [jnp.where(outside, no, ni) for no, ni in zip(n_out, n_in)]
+        dist_bx = jnp.where(outside, d_out, d_in) - ra
+        # surface point: clamp p to the box, then offset to mid-penetration
+        surf = [jnp.clip(pc, cc - hc, cc + hc)
+                for pc, cc, hc in zip(p, b0, half)]
+        point_bx = _add(surf, _scale(0.5 * dist_bx, n_box))
+        kb = jnp.asarray(pt.kind == 1, f32)[:, None]
+        dist = kb * dist_bx + (1.0 - kb) * dist
+        normal = [kb * n2 + (1.0 - kb) * n1 for n1, n2 in zip(normal, n_box)]
+        point = [kb * p2 + (1.0 - kb) * p1_
+                 for p1_, p2 in zip(point, point_bx)]
 
     # ---- contact velocities + penalty force (contact_force parity) ----
     la = np.maximum(gs.link[pt.a], 0)

@@ -21,7 +21,7 @@ import numpy as np
 from jax.sharding import Mesh
 
 from assistive_gym_tpu.registry import ENV_IDS, load
-from assistive_gym_tpu.parallel import ppo, checkpoint
+from assistive_gym_tpu.parallel import ppo, checkpoint, distributed
 from assistive_gym_tpu.utils.metrics import MetricsLogger
 
 
@@ -50,9 +50,12 @@ def parse_args():
 
 def main():
     args = parse_args()
+    # multi-host: join the runtime when the AGT_* env contract is present
+    # (per-host driver processes, SURVEY.md §2.3); must precede jax.devices()
+    multihost = distributed.initialize_from_env()
     task = load(args.env)
 
-    devices = jax.devices()
+    devices = jax.devices()        # global across hosts after initialize
     mesh = None
     if not args.no_mesh and len(devices) >= 1:
         n = len(devices)
@@ -60,6 +63,9 @@ def main():
         mesh = Mesh(np.array(devices), axis_names=("env",))
     else:
         num_envs = args.num_envs
+    if multihost:
+        print(f"multihost: process {jax.process_index()}/{jax.process_count()} "
+              f"local_devices={jax.local_device_count()}")
     cfg = ppo.PPOConfig(num_envs=num_envs, rollout_len=args.rollout_len,
                         lr=args.lr, entropy_coef=args.entropy_coef,
                         normalize_obs=not args.no_norm,
@@ -78,11 +84,21 @@ def main():
 
     start = 0
     if args.ckpt_dir and checkpoint.latest_step(args.ckpt_dir) is not None:
-        start, ts, env_state = checkpoint.restore(args.ckpt_dir, ts, env_state)
+        start, ts, es = checkpoint.restore(
+            args.ckpt_dir, ts, None if multihost else env_state)
+        if es is not None:
+            env_state = es
         print(f"resumed from update {start}")
 
-    logger = MetricsLogger(args.log_dir) if args.log_dir else None
+    primary = distributed.is_primary()
+    logger = MetricsLogger(args.log_dir) if (args.log_dir and primary) else None
     steps_per_update = cfg.num_envs * cfg.rollout_len
+    # multihost: env_state is sharded across hosts — checkpoint the
+    # replicated train state only (process 0; has_env_state=False sidecar)
+    def save(step):
+        if args.ckpt_dir and primary:
+            checkpoint.save(args.ckpt_dir, step, ts,
+                            env_state if not multihost else None)
 
     for i in range(start, args.updates):
         t0 = time.time()
@@ -92,16 +108,15 @@ def main():
         sps = steps_per_update / dt
         if logger:
             logger.log(i + 1, metrics, extra={"env_steps_per_s": round(sps, 1)})
-        else:
+        elif primary:
             m = {k: float(np.asarray(v).mean()) for k, v in metrics.items()}
             print(f"[{i + 1}/{args.updates}] return={m.get('mean_return', 0):.2f} "
                   f"success={m.get('success_rate', 0):.3f} {sps:,.0f} steps/s",
                   flush=True)
-        if args.ckpt_dir and (i + 1) % args.ckpt_every == 0:
-            checkpoint.save(args.ckpt_dir, i + 1, ts, env_state)
+        if (i + 1) % args.ckpt_every == 0:
+            save(i + 1)
 
-    if args.ckpt_dir:
-        checkpoint.save(args.ckpt_dir, args.updates, ts, env_state)
+    save(args.updates)
 
 
 if __name__ == "__main__":
