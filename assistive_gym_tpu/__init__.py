@@ -17,4 +17,19 @@ Public API:
 """
 __version__ = "0.1.0"
 
+import os as _os
+
+# Some TPU platform plugins (e.g. the axon tunnel) override the standard
+# JAX_PLATFORMS environment variable and grab the device regardless.  A
+# "CPU" run that silently lands on the one shared TPU chip corrupts or
+# crashes whatever is training there, so re-honor the user's explicit
+# choice through jax.config before any backend initializes.
+if "JAX_PLATFORMS" in _os.environ:
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass
+
 from .registry import ENV_IDS, load, make  # noqa: F401
