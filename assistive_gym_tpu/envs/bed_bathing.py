@@ -113,6 +113,7 @@ def build(robot_name: str, human_control: bool) -> "BedBathingTask":
     pairs += self_pairs
     pad_pair_mask += [False] * len(self_pairs)
     pt = con.PairTable.build(pairs, ngroups=4)
+    pad_pair_mask = pt.reindex(pad_pair_mask)     # table is kind-sorted
     pt = con.tuned_pairs(gs, pt, np.concatenate([human_model.mass, robot.mass]), 0.02)
 
     robot_active = np.zeros(robot.ndof, bool)

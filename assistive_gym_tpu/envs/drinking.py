@@ -113,9 +113,9 @@ def build(robot_name: str, human_control: bool) -> "DrinkingTask":
         human_params_mf=(base.static_human_params("male"),
                          base.static_human_params("female")),
         substep_hook=_water_substep,
-        # _water_substep_b is available but the hybrid loop measures
-        # ~5% faster for this task (particle-aux transposes);
-        # substep_hook_batched=_water_substep_b,
+        # batch-last hook: see feeding.py — required once seg-box furniture
+        # pairs exist (the vmapped capsule_box path is pathologically slow)
+        substep_hook_batched=_water_substep_b,
     )
     return DrinkingTask(spec)
 

@@ -119,9 +119,11 @@ def build(robot_name: str, human_control: bool) -> "FeedingTask":
         human_params_mf=(base.static_human_params("male"),
                          base.static_human_params("female")),
         substep_hook=_food_substep,
-        # _food_substep_b is available but the hybrid loop measures
-        # ~5% faster for this task (particle-aux transposes);
-        # substep_hook_batched=_food_substep_b,
+        # batch-last hook: mandatory since furniture seg-box pairs landed —
+        # the hybrid loop's vmapped capsule_box narrowphase compiles to
+        # (1,128)-tiled [B,P,3] layouts and costs ~560 ms/step (17x); the
+        # batch-last path keeps [P,B] tiles dense (round-2 trace analysis)
+        substep_hook_batched=_food_substep_b,
     )
     return FeedingTask(spec)
 

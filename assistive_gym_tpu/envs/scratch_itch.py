@@ -90,6 +90,7 @@ def build(robot_name: str, human_control: bool) -> "ScratchItchTask":
     self_check = robots_mod.make_self_check(robot, rg, q0)
     at_target_mask += [False] * (len(pairs) - len(at_target_mask))
     pt = con.PairTable.build(pairs, ngroups=4)
+    at_target_mask = pt.reindex(at_target_mask)   # table is kind-sorted
     pt = con.tuned_pairs(gs, pt, np.concatenate([human_model.mass, robot.mass]), 0.02)
 
     robot_active = np.zeros(robot.ndof, bool)

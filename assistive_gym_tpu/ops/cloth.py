@@ -107,9 +107,11 @@ def substep(
     dvec = x[:, None, :] - closest
     dist = jnp.linalg.norm(dvec, axis=-1)
     depth = (seg_r[None] + cloth_thickness) - dist        # [V,G]
-    gi = jnp.argmax(depth, axis=1)
-    depth_g = jnp.maximum(jnp.take_along_axis(depth, gi[:, None], 1)[:, 0], 0.0)
-    nrm = jnp.take_along_axis(dvec, gi[:, None, None], 1)[:, 0]
+    dmax = depth.max(1)
+    depth_g = jnp.maximum(dmax, 0.0)
+    mask = depth >= dmax[:, None]
+    w = (mask & (jnp.cumsum(mask.astype(jnp.int32), 1) == 1)).astype(x.dtype)
+    nrm = (dvec * w[:, :, None]).sum(1)
     nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-9)
     x = x + depth_g[:, None] * nrm
     # floor
@@ -177,9 +179,11 @@ def substep_b(
     dist2 = jnp.sum(dvec * dvec, 2)                          # [V,G,B]
     dist = jnp.sqrt(jnp.maximum(dist2, 1e-18))
     depth = (seg_r[None] + cloth_thickness) - dist           # [V,G,B]
-    gi = jnp.argmax(depth, axis=1)                           # [V,B]
-    depth_g = jnp.maximum(jnp.max(depth, axis=1), 0.0)       # [V,B]
-    nrm = jnp.take_along_axis(dvec, gi[:, None, None], 1)[:, 0]   # [V,3,B]
+    dmax = depth.max(1)                                      # [V,B]
+    depth_g = jnp.maximum(dmax, 0.0)
+    mask = depth >= dmax[:, None]
+    w = (mask & (jnp.cumsum(mask.astype(jnp.int32), 1) == 1)).astype(x.dtype)
+    nrm = (dvec * w[:, :, None]).sum(1)                      # [V,3,B]
     nrm = nrm / jnp.maximum(
         jnp.sqrt(jnp.maximum(jnp.sum(nrm * nrm, 1), 1e-18)), 1e-9)[:, None]
     x = x + depth_g[:, None] * nrm

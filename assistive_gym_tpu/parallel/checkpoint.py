@@ -112,6 +112,22 @@ def restore(ckpt_dir: str, train_state_template, env_state_template=None,
     return step, ts, es
 
 
+def restore_train_state(ckpt_dir: str, train_state_template,
+                        step: Optional[int] = None) -> Tuple[int, Any]:
+    """Restore ONLY the train state (policy/optimizer/norm stats), ignoring
+    any env_state stored alongside — the policy-evaluation path
+    (tools/eval_policy.py), where the training env batch is irrelevant."""
+    if step is None:
+        step = latest_step(ckpt_dir)
+    if step is None:
+        raise FileNotFoundError(f"no checkpoints under {ckpt_dir!r}")
+    with open(os.path.join(ckpt_dir, f"ckpt_{step}.msgpack"), "rb") as f:
+        raw = serialization.msgpack_restore(f.read())
+    ts = serialization.from_state_dict(train_state_template,
+                                       raw["train_state"])
+    return step, jax.tree.map(jax.device_put, ts)
+
+
 def _prune(ckpt_dir: str, keep: int) -> None:
     steps = sorted(int(m.group(1)) for n in os.listdir(ckpt_dir)
                    if (m := _CKPT_RE.match(n)))

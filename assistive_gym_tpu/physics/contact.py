@@ -59,7 +59,13 @@ class GeomSet:
 
 @dataclasses.dataclass(frozen=True)
 class PairTable:
-    """Static contact pair list (the precomputed broadphase)."""
+    """Static contact pair list (the precomputed broadphase).
+
+    Rows are stored SORTED BY KIND so each narrowphase kind runs on a
+    contiguous pair slice — computing every kind over the full table and
+    masking the merge costs ~3.5x on TPU (round-2 trace finding).  `perm`
+    is the applied permutation: external per-pair metadata built in
+    insertion order must be reindexed with it (mask[perm])."""
     a: np.ndarray          # i32[P] geom index (segment side for mixed pairs)
     b: np.ndarray          # i32[P] geom index
     kind: np.ndarray       # i32[P] 0 seg-seg, 1 seg-box, 2 seg-plane
@@ -68,20 +74,39 @@ class PairTable:
     friction: np.ndarray   # f32[P]
     group: np.ndarray      # i32[P]
     ngroups: int
+    perm: np.ndarray = None   # i32[P] insertion-order -> stored-order map
 
     @staticmethod
     def build(pairs, ngroups: int) -> "PairTable":
         """pairs: list of dicts a,b,kind,stiffness,damping,friction,group."""
+        kind = np.array([p["kind"] for p in pairs], np.int32)
+        perm = np.argsort(kind, kind="stable").astype(np.int32)
+        arr = lambda key, default, dt: np.array(
+            [pairs[i].get(key, default) for i in perm], dt)
         return PairTable(
-            a=np.array([p["a"] for p in pairs], np.int32),
-            b=np.array([p["b"] for p in pairs], np.int32),
-            kind=np.array([p["kind"] for p in pairs], np.int32),
-            stiffness=np.array([p.get("stiffness", 3000.0) for p in pairs], np.float32),
-            damping=np.array([p.get("damping", 30.0) for p in pairs], np.float32),
-            friction=np.array([p.get("friction", 0.5) for p in pairs], np.float32),
-            group=np.array([p.get("group", 0) for p in pairs], np.int32),
+            a=np.array([pairs[i]["a"] for i in perm], np.int32),
+            b=np.array([pairs[i]["b"] for i in perm], np.int32),
+            kind=kind[perm],
+            stiffness=arr("stiffness", 3000.0, np.float32),
+            damping=arr("damping", 30.0, np.float32),
+            friction=arr("friction", 0.5, np.float32),
+            group=arr("group", 0, np.int32),
             ngroups=ngroups,
+            perm=perm,
         )
+
+    def reindex(self, per_pair_values):
+        """Reorder insertion-order per-pair metadata to the stored order."""
+        return np.asarray(per_pair_values)[self.perm]
+
+    def kind_slices(self):
+        """[(kind, slice)] of the contiguous per-kind row ranges."""
+        out = []
+        for k in sorted(set(self.kind.tolist())):
+            lo = int(np.searchsorted(self.kind, k, "left"))
+            hi = int(np.searchsorted(self.kind, k, "right"))
+            out.append((int(k), slice(lo, hi)))
+        return out
 
     @property
     def npairs(self) -> int:
@@ -185,25 +210,31 @@ def evaluate(
     bq = wg.quat[ib]
     bh = jnp.asarray(gs.half)[ib]
 
-    # only compile the narrow-phase kinds that actually occur (static check)
-    kinds_present = set(np.unique(pt.kind).tolist())
-    branches = []
-    if 0 in kinds_present:
-        branches.append((0, col.capsule_capsule(a0, a1, ra, b0, b1, rb)))
-    if 1 in kinds_present:
-        branches.append((1, col.capsule_box(a0, a1, ra, b0, bq, bh)))
-    if 2 in kinds_present:
-        plane_off = jnp.sum(b0 * b1, -1)  # plane point dot normal
-        branches.append((2, col.capsule_plane(a0, a1, ra, b1, plane_off)))
-    if len(branches) == 1:
-        dist, normal, point = branches[0][1]
+    # one contiguous pair slice per kind (the table is kind-sorted): each
+    # narrowphase runs only on its own rows — computing every kind over the
+    # full table and select-merging measured ~3.5x slower on TPU
+    parts = []
+    for k, sl in pt.kind_slices():
+        if k == 0:
+            parts.append(col.capsule_capsule(a0[sl], a1[sl], ra[sl],
+                                             b0[sl], b1[sl], rb[sl]))
+        elif k == 1:
+            parts.append(col.capsule_box(a0[sl], a1[sl], ra[sl],
+                                         b0[sl], bq[sl], bh[sl]))
+        elif k == 2:
+            plane_off = jnp.sum(b0[sl] * b1[sl], -1)
+            parts.append(col.capsule_plane(a0[sl], a1[sl], ra[sl],
+                                           b1[sl], plane_off))
+        else:
+            raise AssertionError(f"unknown pair kind {k}")
+    if len(parts) == 1:
+        dist, normal, point = parts[0]
     else:
-        kind = jnp.asarray(pt.kind)
-        dist = jnp.select([kind == k for k, _ in branches], [b[0] for _, b in branches])
-        normal = jnp.select([(kind == k)[:, None] for k, _ in branches],
-                            [b[1] for _, b in branches])
-        point = jnp.select([(kind == k)[:, None] for k, _ in branches],
-                           [b[2] for _, b in branches])
+        dist = jnp.concatenate([p[0] for p in parts], 0)
+        normal = jnp.concatenate(
+            [jnp.broadcast_to(p[1], p[0].shape + (3,)) for p in parts], 0)
+        point = jnp.concatenate(
+            [jnp.broadcast_to(p[2], p[0].shape + (3,)) for p in parts], 0)
 
     la = jnp.asarray(np.maximum(pt_link(gs, pt.a), 0))
     lb = jnp.asarray(np.maximum(pt_link(gs, pt.b), 0))

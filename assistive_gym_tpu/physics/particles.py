@@ -57,9 +57,13 @@ def collide_segments(p: Particles, radius: float, seg_a, seg_b, seg_r) -> Partic
     d = p.pos[:, None, :] - closest
     dist = jnp.linalg.norm(d, axis=-1)                        # [N,G]
     depth = (seg_r[None] + radius) - dist
-    g = jnp.argmax(depth, axis=1)                             # deepest contact
-    depth_g = jnp.take_along_axis(depth, g[:, None], 1)[:, 0]
-    n = jnp.take_along_axis(d, g[:, None, None], 1)[:, 0]
+    # deepest contact via first-max mask + reduce: argmax/take_along_axis
+    # compile to slow TPU gathers; mask-select fuses into the depth field
+    depth_g = depth.max(1)
+    mask = depth >= depth_g[:, None]
+    first = mask & (jnp.cumsum(mask.astype(jnp.int32), 1) == 1)
+    w = first.astype(d.dtype)
+    n = (d * w[:, :, None]).sum(1)
     n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-9)
     return _project(p, depth_g, n)
 
@@ -207,9 +211,12 @@ def _closest_depth_b(pos, radius, seg_a, seg_b, seg_r):
     dz = apz - t * abz[None]
     dist = jnp.sqrt(jnp.maximum(dx * dx + dy * dy + dz * dz, 1e-18))
     depth = (seg_r[None] + radius) - dist              # [N,G,B]
-    g = jnp.argmax(depth, axis=1)                      # [N,B]
-    take = lambda x: jnp.take_along_axis(x, g[:, None, :], 1)[:, 0]
-    depth_g = take(depth)
+    # first-max mask + reduce instead of argmax + take_along_axis (gathers
+    # are the slowest ops on TPU; mask-select fuses into the depth field)
+    depth_g = depth.max(1)                             # [N,B]
+    mask = depth >= depth_g[:, None]
+    w = (mask & (jnp.cumsum(mask.astype(jnp.int32), 1) == 1)).astype(dist.dtype)
+    take = lambda x: (x * w).sum(1)
     inv = 1.0 / jnp.maximum(take(dist), 1e-9)
     normal = jnp.stack([take(dx) * inv, take(dy) * inv, take(dz) * inv], 1)
     return depth_g, normal
