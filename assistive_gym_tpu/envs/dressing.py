@@ -122,6 +122,13 @@ def _cloth_substep(spec, state, aux, fk_h, fk_r, dt):
                 cloth_contact_force=cf, cloth_contact_pos=cp)
 
 
+# Human geoms the gown can physically reach (left-arm dressing: left arm
+# chain, shoulders, neck/head, trunk, thighs).  The [V,G,B] cloth-collision
+# field dominates dressing's step cost, so the unreachable right-arm and
+# lower-leg capsules are statically excluded (G 25 -> 14).
+CLOTH_GEOM_IDS = (1, 2, 3, 4, 8, 9, 10, 11, 12, 13, 16, 19, 20, 21)
+
+
 def _cloth_substep_b(spec, states, aux, hpos, hquat, rpos, rquat,
                      p0_bl, p1_bl, rad_bl, contacts, dt):
     """Batch-last cloth hook for the zero-transpose loop (VERDICT round-1
@@ -131,20 +138,20 @@ def _cloth_substep_b(spec, states, aux, hpos, hquat, rpos, rquat,
     Tb = lambda a: jnp.transpose(a, (2, 0, 1))
     ee = rpos[spec.tool_tip_link]                         # [3,B]
     anchor_pos = ee[None] + T(aux["anchor_offsets"])      # [A,3,B]
-    nhg = spec.human_params_mf[0]["geom_p0"].shape[0]
-    seg_a, seg_b = contacts.w0[:nhg], contacts.w1[:nhg]   # [G,3,B]
+    ci = np.asarray(CLOTH_GEOM_IDS)
+    seg_a, seg_b = contacts.w0[ci], contacts.w1[ci]       # [Gc,3,B]
     x, v, cf, cp = cloth_mod.substep_b(
         T(aux["cloth_x"]), T(aux["cloth_v"]), dt, (0.0, 0.0, -9.81),
-        anchor_pos, seg_a, seg_b, rad_bl[:nhg])
+        anchor_pos, seg_a, seg_b, rad_bl[ci])
     return dict(aux, cloth_x=Tb(x), cloth_v=Tb(v),
                 cloth_contact_force=cf.T, cloth_contact_pos=Tb(cp))
 
 
 def _human_segments_cloth(spec, state, fk_h):
-    nhg = spec.human_params_mf[0]["geom_p0"].shape[0]
+    ci = np.asarray(CLOTH_GEOM_IDS)
     wg = con.world_geoms(spec.geoms, fk_h.pos, fk_h.quat,
                          p0=state.geom_p0, p1=state.geom_p1)
-    return wg.w0[:nhg], wg.w1[:nhg], state.geom_radius[:nhg]
+    return wg.w0[ci], wg.w1[ci], state.geom_radius[ci]
 
 
 class DressingTask:

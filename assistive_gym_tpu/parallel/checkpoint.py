@@ -113,19 +113,26 @@ def restore(ckpt_dir: str, train_state_template, env_state_template=None,
 
 
 def restore_train_state(ckpt_dir: str, train_state_template,
-                        step: Optional[int] = None) -> Tuple[int, Any]:
-    """Restore ONLY the train state (policy/optimizer/norm stats), ignoring
-    any env_state stored alongside — the policy-evaluation path
-    (tools/eval_policy.py), where the training env batch is irrelevant."""
+                        step: Optional[int] = None,
+                        skip=("opt_state",)) -> Tuple[int, Any]:
+    """Restore the train state field-by-field, ignoring env_state and any
+    fields in `skip` — the policy-evaluation path (tools/eval_policy.py):
+    eval needs params + normalization stats but not the optimizer state,
+    whose structure depends on the training lr schedule."""
     if step is None:
         step = latest_step(ckpt_dir)
     if step is None:
         raise FileNotFoundError(f"no checkpoints under {ckpt_dir!r}")
     with open(os.path.join(ckpt_dir, f"ckpt_{step}.msgpack"), "rb") as f:
-        raw = serialization.msgpack_restore(f.read())
-    ts = serialization.from_state_dict(train_state_template,
-                                       raw["train_state"])
-    return step, jax.tree.map(jax.device_put, ts)
+        raw = serialization.msgpack_restore(f.read())["train_state"]
+    ts = train_state_template
+    for name, stored in raw.items():
+        if name in skip or not hasattr(ts, name):
+            continue
+        tmpl_leaf = getattr(ts, name)
+        restored = serialization.from_state_dict(tmpl_leaf, stored)
+        ts = ts.replace(**{name: jax.tree.map(jax.device_put, restored)})
+    return step, ts
 
 
 def _prune(ckpt_dir: str, keep: int) -> None:

@@ -43,6 +43,10 @@ def parse_args():
     p.add_argument("--ckpt-every", type=int, default=10)
     p.add_argument("--no-mesh", action="store_true",
                    help="single-device, no sharding (debug)")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="enable jax_debug_nans: fail fast with a traceback "
+                        "at the first NaN-producing op (failure-detection "
+                        "harness, SURVEY.md §5)")
     p.add_argument("--coop", action="store_true",
                    help="dual-policy co-optimization (requires a *Human-v0 env)")
     return p.parse_args()
@@ -50,6 +54,8 @@ def parse_args():
 
 def main():
     args = parse_args()
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     # multi-host: join the runtime when the AGT_* env contract is present
     # (per-host driver processes, SURVEY.md §2.3); must precede jax.devices()
     multihost = distributed.initialize_from_env()
