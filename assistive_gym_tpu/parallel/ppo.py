@@ -73,6 +73,10 @@ class ActorCritic(nn.Module):
                         kernel_init=nn.initializers.orthogonal(0.01))(x)
         log_std = self.param("log_std", nn.initializers.constant(-0.5),
                              (self.action_dim,))
+        # clamp: with an entropy bonus the unconstrained parameter can run
+        # away once lr decay freezes the policy gradient (seen on the
+        # feeding run: std ~1.3 saturates the [-1,1] action clip)
+        log_std = jnp.clip(log_std, -5.0, 0.0)
         v = obs
         for _ in range(2):
             v = nn.tanh(nn.Dense(self.hidden)(v))
