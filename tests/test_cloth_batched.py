@@ -77,3 +77,21 @@ def test_cloth_contact_force_calibration():
     # per-vertex sustained contact in the reference's sub-filter band
     assert forces.max() < 20.0, forces.max()
     assert forces.max() > 0.5, forces.max()
+
+
+def test_sleeve_opening_admits_arm():
+    """Gown coarsening check (VERDICT round-1 weak #5): the 547-vertex
+    cluster mesh must preserve a sleeve opening large enough for the arm.
+    The tracked sleeve triangles (reference dressing.py:172-173 vertex ids,
+    recompiled into cloth_gown.npz) must each span an opening whose
+    shortest edge clears the upper-arm capsule diameter plus cloth
+    thickness."""
+    g = cloth.gown_np()
+    x = np.asarray(g["pos"]) * 1.4          # loadCloth scale (dressing.py:170)
+    arm_diameter = 2 * (0.043 + 0.012)      # upperarm radius + cloth thickness
+    for name in ("tri1", "tri2"):
+        pts = x[np.asarray(g[name])]
+        a, b, c = pts
+        edges = [np.linalg.norm(a - b), np.linalg.norm(a - c),
+                 np.linalg.norm(b - c)]
+        assert min(edges) > arm_diameter, (name, edges)
