@@ -307,8 +307,10 @@ class FeedingTask:
         def settle(i, aux):
             return _food_substep(spec, state, aux, fk_h2, fk_r2, 0.01)
         aux = jax.lax.fori_loop(0, 100, settle, aux)
-        state = state.replace(aux=dict(aux, target_pos=base.transform_point_on_link(
-            fk_h2, 23, hp["mouth_pos"])))
+        state = state.replace(aux=dict(
+            aux,
+            target_pos=base.transform_point_on_link(fk_h2, 23, hp["mouth_pos"]),
+            tip_pos=fk_r2.pos[spec.tool_tip_link]))
 
         obs = self._get_obs(state, fk_h2, fk_r2, jnp.zeros(1, f32), jnp.zeros(2, f32))
         return state, obs
@@ -318,6 +320,17 @@ class FeedingTask:
         state, contacts, (fk_h, fk_r), (vel_h, vel_r) = base.take_step(
             self.spec, state, action)
         return self._finish(state, action, contacts, fk_h, fk_r, vel_h, vel_r)
+
+    def shaping_potential(self, state: EnvState) -> jax.Array:
+        """Training-time shaping potential Phi(s) = -||spoon TIP - mouth||.
+
+        The TRUE reward (reference feeding.py:26-28) shapes distance to the
+        spoon BASE frame; food sits in the scoop at the TIP, ~5 cm away, so
+        delivery needs tip precision that base shaping does not reward.
+        Used only via PPOConfig.shaping_coef (annealed, potential-based) —
+        the env reward itself is untouched.
+        """
+        return -jnp.linalg.norm(state.aux["tip_pos"] - state.aux["target_pos"])
 
     def step_batched(self, states: EnvState, actions: jax.Array):
         """Batched step: fused Pallas dynamics (base.take_step_batched) +
@@ -381,7 +394,8 @@ class FeedingTask:
 
         state = state.replace(
             task_success=task_success,
-            aux=dict(aux, food_alive=alive, food_hit=hit, target_pos=target_pos))
+            aux=dict(aux, food_alive=alive, food_hit=hit, target_pos=target_pos,
+                     tip_pos=fk_r.pos[spec.tool_tip_link]))
 
         obs = self._get_obs(state, fk_h, fk_r,
                             jnp.atleast_1d(spoon_force_on_human),

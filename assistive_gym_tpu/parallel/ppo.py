@@ -49,6 +49,14 @@ class PPOConfig:
     normalize_reward: bool = True
     # linear lr decay to 0 over this many updates (0 = constant lr)
     total_updates: int = 0
+    # training-time potential-based reward shaping (Ng et al. 1999):
+    # r' = r + c_t * (gamma * Phi(s') - Phi(s)) with Phi supplied by the
+    # task (task.shaping_potential); preserves the optimal policy and is
+    # annealed linearly to 0 by shaping_decay_updates, so late training and
+    # all evaluation run on the true reference reward.  Only the training
+    # signal changes — env semantics / reward parity are untouched.
+    shaping_coef: float = 0.0
+    shaping_decay_updates: int = 0
 
     def make_tx(self):
         if self.total_updates > 0:
@@ -183,7 +191,19 @@ def make_train_step(task, cfg: PPOConfig, mesh: Mesh = None):
     def norm_obs(ts: TrainState, obs):
         return ts.obs_rms.normalize(obs) if cfg.normalize_obs else obs
 
+    use_shaping = cfg.shaping_coef > 0.0 and hasattr(task, "shaping_potential")
+    if use_shaping:
+        phi_fn = jax.vmap(task.shaping_potential)
+
+    def shaping_coef_now(ts: TrainState):
+        if cfg.shaping_decay_updates > 0:
+            frac = 1.0 - ts.update_i.astype(jnp.float32) / cfg.shaping_decay_updates
+            return cfg.shaping_coef * jnp.maximum(frac, 0.0)
+        return jnp.asarray(cfg.shaping_coef, jnp.float32)
+
     def rollout(ts: TrainState, env_state, obs0, key):
+        coef = shaping_coef_now(ts) if use_shaping else None
+
         def body(carry, _):
             env_state, obs, ret, key = carry
             key, k_act = jax.random.split(key)
@@ -192,11 +212,16 @@ def make_train_step(task, cfg: PPOConfig, mesh: Mesh = None):
             noise = jax.random.normal(k_act, mean.shape, mean.dtype)
             action = mean + noise * jnp.exp(log_std)
             logp = _gaussian_logp(mean, log_std, action)
+            if use_shaping:
+                phi_s = phi_fn(env_state)
             env_state, obs_next, reward, done, info = env_step(env_state, action)
+            raw_reward = reward
+            if use_shaping:
+                reward = reward + coef * (cfg.gamma * phi_fn(env_state) - phi_s)
             # per-env discounted return carry, for the reward-scale rms
             ret = ret * cfg.gamma + reward
             out = dict(obs=obs, action=action, logp=logp, value=value,
-                       reward=reward, ret_carry=ret,
+                       reward=reward, raw_reward=raw_reward, ret_carry=ret,
                        success=info["task_success"])
             return (env_state, obs_next, ret, key), out
 
@@ -269,7 +294,8 @@ def make_train_step(task, cfg: PPOConfig, mesh: Mesh = None):
             epoch_body, (ts.params, ts.opt_state, key), None,
             length=cfg.num_epochs)
         metrics = jax.tree.map(lambda x: x.mean(), aux)
-        metrics["mean_return"] = traj["reward"].sum(0).mean()
+        # mean_return is always the TRUE env return (shaping excluded)
+        metrics["mean_return"] = traj["raw_reward"].sum(0).mean()
         metrics["success_rate"] = traj["success"][-1].mean()
 
         # fold this rollout's raw obs / discounted returns into the rms

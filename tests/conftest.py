@@ -11,6 +11,13 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
 
+# Force the ENV VAR, not just jax.config: assistive_gym_tpu.__init__
+# re-applies JAX_PLATFORMS from the environment (to protect training runs
+# from stray scripts), so a bare `pytest` under the terminal's default
+# JAX_PLATFORMS=axon would clobber the config update below at first
+# package import and dial the TPU tunnel from inside the test suite.
+os.environ["JAX_PLATFORMS"] = "cpu"
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")

@@ -171,3 +171,16 @@ def test_kernel_limit_projection(chain):
     assert np.all(np.asarray(q_k) <= np.asarray(hi)[None] + 1e-6)
     np.testing.assert_allclose(np.asarray(q_k), np.asarray(q_ref), atol=5e-5)
     np.testing.assert_allclose(np.asarray(qd_k), np.asarray(qd_ref), atol=2e-3)
+
+
+def test_auto_block_vmem_budget():
+    """_auto_block keeps the kernel's measured ~450 B/lane/rel-link live set
+    inside the 12 MB VMEM budget for every deployed system size, including
+    the PR2 dual-arm worst case (R=47, which OOMed at 1024 lanes on v5e)."""
+    from assistive_gym_tpu.ops.pallas_dynamics import _auto_block
+    for R in (10, 17, 26, 47, 60):
+        blk = _auto_block(R)
+        assert blk in (1024, 512, 256, 128)
+        assert 450 * R * blk <= 12 * 1024 * 1024 or blk == 128
+    assert _auto_block(47) <= 512          # the known PR2 OOM case
+    assert _auto_block(17) == 1024         # jaco-class stays full-width

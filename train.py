@@ -37,6 +37,12 @@ def parse_args():
                    help="linear lr decay to 0 over --updates")
     p.add_argument("--no-norm", action="store_true",
                    help="disable obs/reward normalization")
+    p.add_argument("--shaping-coef", type=float, default=0.0,
+                   help="training-time potential-based shaping coefficient "
+                        "(tasks exposing shaping_potential; annealed to 0)")
+    p.add_argument("--shaping-decay", type=int, default=0,
+                   help="updates over which the shaping coef anneals to 0 "
+                        "(0 = constant)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log-dir", default=None)
     p.add_argument("--ckpt-dir", default=None)
@@ -76,7 +82,9 @@ def main():
                         lr=args.lr, entropy_coef=args.entropy_coef,
                         normalize_obs=not args.no_norm,
                         normalize_reward=not args.no_norm,
-                        total_updates=args.updates if args.lr_decay else 0)
+                        total_updates=args.updates if args.lr_decay else 0,
+                        shaping_coef=args.shaping_coef,
+                        shaping_decay_updates=args.shaping_decay)
     print(f"env={args.env} devices={len(devices)} num_envs={num_envs}")
 
     if args.coop:
