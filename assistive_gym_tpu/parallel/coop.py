@@ -96,7 +96,21 @@ def make_train_step(task, cfg: PPOConfig, mesh: Mesh = None):
         mean, log_std, value = jax.vmap(lambda o: net.apply(params, o))(obs)
         return mean, log_std, value
 
+    # training-time potential-based shaping (same contract as ppo.py):
+    # both agents share the scalar reward, so one shaped stream serves both
+    use_shaping = cfg.shaping_coef > 0.0 and hasattr(task, "shaping_potential")
+    if use_shaping:
+        phi_fn = jax.vmap(task.shaping_potential)
+
     def rollout(ts: CoopTrainState, env_state, obs0, key):
+        if use_shaping:
+            if cfg.shaping_decay_updates > 0:
+                frac = (1.0 - ts.robot.update_i.astype(jnp.float32)
+                        / cfg.shaping_decay_updates)
+                coef = cfg.shaping_coef * jnp.maximum(frac, 0.0)
+            else:
+                coef = jnp.asarray(cfg.shaping_coef, jnp.float32)
+
         def body(carry, _):
             env_state, obs, ret, key = carry
             key, kr, kh = jax.random.split(key, 3)
@@ -107,12 +121,18 @@ def make_train_step(task, cfg: PPOConfig, mesh: Mesh = None):
             a_r = mr + jax.random.normal(kr, mr.shape, mr.dtype) * jnp.exp(sr)
             a_h = mh + jax.random.normal(kh, mh.shape, mh.dtype) * jnp.exp(sh_)
             action = jnp.concatenate([a_r, a_h], -1)
+            if use_shaping:
+                phi_s = phi_fn(env_state)
             env_state, obs_next, reward, done, info = env_step(env_state, action)
+            raw_reward = reward
+            if use_shaping:
+                reward = reward + coef * (cfg.gamma * phi_fn(env_state) - phi_s)
             ret = ret * cfg.gamma + reward
             out = dict(obs_r=obs_r, obs_h=obs_h, a_r=a_r, a_h=a_h,
                        logp_r=_gaussian_logp(mr, sr, a_r),
                        logp_h=_gaussian_logp(mh, sh_, a_h),
-                       v_r=vr, v_h=vh, reward=reward, raw_obs=obs,
+                       v_r=vr, v_h=vh, reward=reward, raw_reward=raw_reward,
+                       raw_obs=obs,
                        ret_carry=ret, success=info["task_success"])
             return (env_state, obs_next, ret, key), out
 
@@ -207,7 +227,7 @@ def make_train_step(task, cfg: PPOConfig, mesh: Mesh = None):
         ts = CoopTrainState(robot=robot, human=human, key=key_next,
                             obs_rms=obs_rms, ret_rms=ret_rms)
         metrics = dict(pg_loss_robot=pg_r, pg_loss_human=pg_h,
-                       mean_return=traj["reward"].sum(0).mean(),
+                       mean_return=traj["raw_reward"].sum(0).mean(),
                        success_rate=traj["success"][-1].mean())
         return ts, env_state, metrics
 

@@ -15,24 +15,24 @@ run() {  # run <name> <args...>
     echo "=== $(date -u +%H:%M:%S) $name done (rc=$?) ==="
 }
 
-# 1. Bed bathing: 50 Hz physics, fastest env — cheap win.
-run bed_r3 --env BedBathingJaco-v0 --updates 400 --lr-decay \
-    --entropy-coef 0.001 --seed 3
-
-# 2. Arm manipulation: dual-arm 14-dof, also 50 Hz.
-run armman_r3 --env ArmManipulationJaco-v0 --updates 400 --lr-decay \
-    --entropy-coef 0.001 --seed 3
-
-# 3. Feeding with annealed tip-potential shaping (round-3 headline).
+# 1. Feeding with annealed tip-potential shaping (round-3 headline).
 run feeding_r3 --env FeedingJaco-v0 --updates 1000 --lr-decay \
     --entropy-coef 0.001 --shaping-coef 3.0 --shaping-decay 700 --seed 3
 
+# 2. Bed bathing: 50 Hz physics, fastest env — cheap win.
+run bed_r3 --env BedBathingJaco-v0 --updates 300 --lr-decay \
+    --entropy-coef 0.001 --seed 3
+
+# 3. Arm manipulation: dual-arm 14-dof, also 50 Hz.
+run armman_r3 --env ArmManipulationJaco-v0 --updates 300 --lr-decay \
+    --entropy-coef 0.001 --seed 3
+
 # 4. Drinking: 250 Hz physics, slower env.
-run drinking_r3 --env DrinkingJaco-v0 --updates 500 --lr-decay \
+run drinking_r3 --env DrinkingJaco-v0 --updates 400 --lr-decay \
     --entropy-coef 0.001 --seed 3
 
 # 5. Dressing: cloth, slowest env; smaller batch for wall-clock.
-run dressing_r3 --env DressingJaco-v0 --updates 250 --num-envs 2048 \
+run dressing_r3 --env DressingJaco-v0 --updates 200 --num-envs 2048 \
     --lr-decay --entropy-coef 0.001 --seed 3
 
 echo "=== all training done $(date -u) ==="
