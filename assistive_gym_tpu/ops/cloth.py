@@ -42,6 +42,43 @@ def gown_np():
     return {k: np.asarray(z[k]) for k in z.files}
 
 
+@functools.lru_cache(maxsize=1)
+def _incidence_np():
+    """Static per-vertex incident-edge gather table (eidx [V,D], sign [V,D]).
+
+    TPU scatters serialize; the Jacobi accumulation instead gathers each
+    vertex's ≤D incident edge corrections (pad index E selects an appended
+    zero row).  Gathers of contiguous [3,B] rows stay on the fast path."""
+    g = gown_np()
+    E = g["edges"]
+    V = g["pos"].shape[0]
+    deg = np.zeros(V, np.int64)
+    np.add.at(deg, E[:, 0], 1)
+    np.add.at(deg, E[:, 1], 1)
+    D = int(deg.max())
+    eidx = np.full((V, D), E.shape[0], np.int32)
+    sign = np.zeros((V, D), np.float32)
+    fill = np.zeros(V, np.int64)
+    for ei, (a, b) in enumerate(E):
+        eidx[a, fill[a]] = ei; sign[a, fill[a]] = 1.0; fill[a] += 1
+        eidx[b, fill[b]] = ei; sign[b, fill[b]] = -1.0; fill[b] += 1
+    return eidx, sign
+
+
+def _jacobi_dx(corr):
+    """Per-vertex summed edge corrections via the static gather table.
+    corr: [E,3] or [E,3,B]; returns [V,3(,B)] = Σ_incident ±0.5·corr."""
+    eidx, sign = _incidence_np()
+    corr_pad = jnp.concatenate(
+        [corr, jnp.zeros((1,) + corr.shape[1:], corr.dtype)], 0)
+    extra = (None,) * (corr.ndim - 1)
+    dx = None
+    for d in range(eidx.shape[1]):
+        c = jnp.asarray(sign[:, d])[(slice(None),) + extra] * corr_pad[eidx[:, d]]
+        dx = c if dx is None else dx + c
+    return 0.5 * dx
+
+
 class ClothState(NamedTuple):
     x: jnp.ndarray   # f32[V,3]
     v: jnp.ndarray   # f32[V,3]
@@ -94,8 +131,7 @@ def substep(
         L = jnp.linalg.norm(d, axis=-1)
         n = d / jnp.maximum(L, 1e-9)[:, None]
         corr = (stiffness * (rest - L))[:, None] * n      # applied half/half
-        dx = jnp.zeros_like(x).at[e0].add(0.5 * corr).at[e1].add(-0.5 * corr)
-        x = x + dx / degj[:, None]
+        x = x + _jacobi_dx(corr) / degj[:, None]
         x = x.at[anchors].set(anchor_pos)
 
     # collision with human capsules: one [V,G] pass, deepest contact wins
@@ -164,9 +200,7 @@ def substep_b(
         L = jnp.sqrt(jnp.maximum(jnp.sum(d * d, 1), 1e-18))  # [E,B]
         n = d / L[:, None]
         corr = (stiffness * (rest - L))[:, None] * n         # [E,3,B]
-        dx = (jnp.zeros_like(x).at[e0].add(0.5 * corr)
-              .at[e1].add(-0.5 * corr))
-        x = x + dx / degj
+        x = x + _jacobi_dx(corr) / degj
         x = x.at[anchors].set(anchor_pos)
 
     # collision with human capsules: [V,G,B] distance field, deepest wins

@@ -95,3 +95,28 @@ def test_sleeve_opening_admits_arm():
         edges = [np.linalg.norm(a - b), np.linalg.norm(a - c),
                  np.linalg.norm(b - c)]
         assert min(edges) > arm_diameter, (name, edges)
+
+
+def test_jacobi_gather_equals_scatter():
+    """The static incident-edge gather table reproduces the scatter-add
+    Jacobi accumulation exactly (same contributions, reassociated order)."""
+    import numpy as np
+    from assistive_gym_tpu.ops import cloth
+
+    g = cloth.gown_np()
+    E, V = g["edges"], g["pos"].shape[0]
+    rng = np.random.default_rng(0)
+    corr = jnp.asarray(rng.standard_normal((E.shape[0], 3)).astype(np.float32))
+    ref = (jnp.zeros((V, 3)).at[E[:, 0]].add(0.5 * corr)
+           .at[E[:, 1]].add(-0.5 * corr))
+    got = cloth._jacobi_dx(corr)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+    # batch-last form
+    corr_b = corr[:, :, None] * jnp.asarray([1.0, 2.0])[None, None]
+    got_b = cloth._jacobi_dx(corr_b)
+    np.testing.assert_allclose(np.asarray(got_b[..., 0]), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_b[..., 1]), 2 * np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
