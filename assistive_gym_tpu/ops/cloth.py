@@ -203,23 +203,33 @@ def substep_b(
         x = x + _jacobi_dx(corr) / degj
         x = x.at[anchors].set(anchor_pos)
 
-    # collision with human capsules: [V,G,B] distance field, deepest wins
-    ab = seg_b - seg_a                                       # [G,3,B]
-    ap = x[:, None] - seg_a[None]                            # [V,G,3,B]
-    t = jnp.clip(jnp.sum(ap * ab[None], 2)
-                 / jnp.maximum(jnp.sum(ab * ab, 1), 1e-9)[None], 0.0, 1.0)
-    closest = seg_a[None] + t[:, :, None] * ab[None]         # [V,G,3,B]
-    dvec = x[:, None] - closest
-    dist2 = jnp.sum(dvec * dvec, 2)                          # [V,G,B]
-    dist = jnp.sqrt(jnp.maximum(dist2, 1e-18))
-    depth = (seg_r[None] + cloth_thickness) - dist           # [V,G,B]
-    dmax = depth.max(1)                                      # [V,B]
-    depth_g = jnp.maximum(dmax, 0.0)
-    mask = depth >= dmax[:, None]
-    w = (mask & (jnp.cumsum(mask.astype(jnp.int32), 1) == 1)).astype(x.dtype)
-    nrm = (dvec * w[:, :, None]).sum(1)                      # [V,3,B]
-    nrm = nrm / jnp.maximum(
-        jnp.sqrt(jnp.maximum(jnp.sum(nrm * nrm, 1), 1e-18)), 1e-9)[:, None]
+    # collision with human capsules: stream over the G capsules keeping only
+    # [V,B]/[V,3,B] live values (the one-shot [V,G,3,B] form materializes
+    # ~100s of MB of intermediates at B=4096); deepest contact wins, first
+    # capsule wins ties — identical to the [V,G,B] argmax-free selection
+    G = seg_a.shape[0]
+    best_depth = None
+    best_dvec = None
+    for gi in range(G):
+        a_g, b_g = seg_a[gi], seg_b[gi]                      # [3,B]
+        ab_g = b_g - a_g
+        ap_g = x - a_g[None]                                 # [V,3,B]
+        t = jnp.clip(jnp.sum(ap_g * ab_g[None], 1)
+                     / jnp.maximum(jnp.sum(ab_g * ab_g, 0), 1e-9)[None],
+                     0.0, 1.0)                               # [V,B]
+        dvec = ap_g - t[:, None] * ab_g[None]                # [V,3,B]
+        dist = jnp.sqrt(jnp.maximum(jnp.sum(dvec * dvec, 1), 1e-18))
+        depth = (seg_r[gi][None] + cloth_thickness) - dist   # [V,B]
+        if best_depth is None:
+            best_depth, best_dvec = depth, dvec
+        else:
+            better = depth > best_depth
+            best_dvec = jnp.where(better[:, None], dvec, best_dvec)
+            best_depth = jnp.maximum(depth, best_depth)
+    depth_g = jnp.maximum(best_depth, 0.0)
+    nrm = best_dvec / jnp.maximum(
+        jnp.sqrt(jnp.maximum(jnp.sum(best_dvec * best_dvec, 1), 1e-18)),
+        1e-9)[:, None]
     x = x + depth_g[:, None] * nrm
     # floor
     x = x.at[:, 2].set(jnp.maximum(x[:, 2], 0.01))
