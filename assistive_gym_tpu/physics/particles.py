@@ -196,29 +196,38 @@ def _project_b(p: ParticlesB, depth, normal, restitution=0.0, friction=0.3):
 
 def _closest_depth_b(pos, radius, seg_a, seg_b, seg_r):
     """Deepest-contact (depth [N,B], normal [N,3,B]) vs segment set
-    (seg_* [G,3,B] / [G,B]); all pairwise terms componentwise [N,G,B]."""
+    (seg_* [G,3,B] / [G,B]).
+
+    Streams over the G segments keeping only [N,B]-sized live values (the
+    one-shot [N,G,B] form materializes ~10 pairwise tensors; at drinking's
+    N=64, B=4096 that is ~100s of MB per substep).  Deepest contact wins,
+    first segment wins ties — identical to the previous first-max select."""
     px, py, pz = _pc(pos)
-    ax, ay, az = _pc(seg_a)
-    abx, aby, abz = [b - a for a, b in zip(_pc(seg_a), _pc(seg_b))]
-    apx = px[:, None] - ax[None]
-    apy = py[:, None] - ay[None]
-    apz = pz[:, None] - az[None]
-    ab2 = (abx * abx + aby * aby + abz * abz)[None]
-    t = (apx * abx[None] + apy * aby[None] + apz * abz[None]) / jnp.maximum(ab2, 1e-9)
-    t = jnp.clip(t, 0.0, 1.0)
-    dx = apx - t * abx[None]
-    dy = apy - t * aby[None]
-    dz = apz - t * abz[None]
-    dist = jnp.sqrt(jnp.maximum(dx * dx + dy * dy + dz * dz, 1e-18))
-    depth = (seg_r[None] + radius) - dist              # [N,G,B]
-    # first-max mask + reduce instead of argmax + take_along_axis (gathers
-    # are the slowest ops on TPU; mask-select fuses into the depth field)
-    depth_g = depth.max(1)                             # [N,B]
-    mask = depth >= depth_g[:, None]
-    w = (mask & (jnp.cumsum(mask.astype(jnp.int32), 1) == 1)).astype(dist.dtype)
-    take = lambda x: (x * w).sum(1)
-    inv = 1.0 / jnp.maximum(take(dist), 1e-9)
-    normal = jnp.stack([take(dx) * inv, take(dy) * inv, take(dz) * inv], 1)
+    best = None
+    for gi in range(seg_a.shape[0]):
+        ax, ay, az = seg_a[gi, 0], seg_a[gi, 1], seg_a[gi, 2]      # [B]
+        abx = seg_b[gi, 0] - ax
+        aby = seg_b[gi, 1] - ay
+        abz = seg_b[gi, 2] - az
+        apx, apy, apz = px - ax[None], py - ay[None], pz - az[None]
+        ab2 = abx * abx + aby * aby + abz * abz
+        t = (apx * abx[None] + apy * aby[None] + apz * abz[None]) \
+            / jnp.maximum(ab2, 1e-9)[None]
+        t = jnp.clip(t, 0.0, 1.0)                                  # [N,B]
+        dx = apx - t * abx[None]
+        dy = apy - t * aby[None]
+        dz = apz - t * abz[None]
+        dist = jnp.sqrt(jnp.maximum(dx * dx + dy * dy + dz * dz, 1e-18))
+        depth = (seg_r[gi][None] + radius) - dist                  # [N,B]
+        cur = (depth, dist, dx, dy, dz)
+        if best is None:
+            best = cur
+        else:
+            better = depth > best[0]
+            best = tuple(jnp.where(better, c, b) for c, b in zip(cur, best))
+    depth_g, dist, dx, dy, dz = best
+    inv = 1.0 / jnp.maximum(dist, 1e-9)
+    normal = jnp.stack([dx * inv, dy * inv, dz * inv], 1)
     return depth_g, normal
 
 
