@@ -207,7 +207,7 @@ class ArmManipulationTask:
                 extra_goals=[[(wrist, None), (hips, None)],
                              [(elbow, None), (waist, None)]],
                 q_base=rq, base_quat_center=0.0, pos_offset=(-0.3, 0.7, 0.0),
-                attempts=20, ik_iters=30)
+                attempts=100, ik_iters=30)
             robot_base_pos, robot_base_quat = bp, bq
         elif spec.robot_name == "baxter":
             tq = m3.quat_from_euler(jnp.asarray([0, -math.pi / 2, math.pi], f32))
@@ -219,7 +219,7 @@ class ArmManipulationTask:
                 extra_goals=[[(wrist, None), (hips, None)],
                              [(elbow, None), (waist, None)]],
                 q_base=rq, base_quat_center=0.0, pos_offset=(-0.3, 0.6, 0.975),
-                attempts=20, ik_iters=30)
+                attempts=100, ik_iters=30)
             robot_base_pos, robot_base_quat = bp, bq
         elif spec.robot_name in ("jaco", "kinova_gen3"):
             target_l2 = (jnp.asarray([-0.9, 0.4, 1.0], f32)
@@ -231,7 +231,7 @@ class ArmManipulationTask:
                 start_goals=[[(target_l2, tq)]],
                 extra_goals=[[(wrist, None), (hips, None), (elbow, None), (waist, None)]],
                 q_base=rq, base_quat_center=0.0, pos_offset=(-0.05, 1.15, 0.6),
-                attempts=20, ik_iters=30, random_position=0.1)
+                attempts=100, ik_iters=30, random_position=0.1)
             robot_base_pos, robot_base_quat = bp, bq
         else:  # sawyer
             tq = m3.quat_from_euler(jnp.asarray([0, -math.pi / 2, math.pi], f32))
@@ -241,7 +241,7 @@ class ArmManipulationTask:
                 start_goals=[[(target_l, tq)]],
                 extra_goals=[[(wrist, None), (hips, None), (elbow, None), (waist, None)]],
                 q_base=rq, base_quat_center=0.0, pos_offset=(-0.3, 0.6, 0.975),
-                attempts=20, ik_iters=30)
+                attempts=100, ik_iters=30)
             robot_base_pos, robot_base_quat = bp, bq
 
         state = state.replace(robot_q=rq, robot_base_pos=robot_base_pos,

@@ -228,7 +228,7 @@ class BedBathingTask:
             start_goals=[[(target_pos_ik, tq)]],
             extra_goals=[[(shoulder, None), (elbow, None), (wrist, None)]],
             q_base=rq, base_quat_center=0.0, pos_offset=off,
-            attempts=30, ik_iters=30, random_position=rpos)
+            attempts=100, ik_iters=30, random_position=rpos)
         state = state.replace(robot_q=rq, robot_base_pos=bp, robot_base_quat=bq)
 
         # wipe targets: per-gender local grids, padded + masked

@@ -208,7 +208,7 @@ class DressingTask:
             res = ik_mod.ik_random_restarts(
                 k_ik, spec.robot, ee, target_pos_ik, tq, rq, spec.arm_dofs,
                 robot_base_pos, robot_base_quat, rl, ru,
-                restarts=20, iters=40, pos_threshold=0.03,
+                restarts=40, iters=40, pos_threshold=0.03,   # dressing.py:143 (40 restarts)
                 collision_penalty=(
                     None if spec.extras.get("self_check") is None else
                     lambda q: spec.extras["self_check"](
@@ -233,7 +233,7 @@ class DressingTask:
                 extra_goals=[[(shoulder + offset, tq_sh), (elbow + offset, tq),
                               (wrist + offset, tq)]],
                 q_base=rq, base_quat_center=0.0, pos_offset=off,
-                attempts=30, ik_iters=30, right_side=False,
+                attempts=100, ik_iters=30, right_side=False,
                 base_euler_orient=(0.0, 0.0, math.pi))
             robot_base_pos, robot_base_quat = bp, bq
 

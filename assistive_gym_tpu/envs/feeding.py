@@ -234,7 +234,7 @@ class FeedingTask:
             res = ik_mod.ik_random_restarts(
                 k_ik, spec.robot, ee, target_pos_ik, tq, rq, spec.arm_dofs,
                 robot_base_pos, robot_base_quat, rl, ru,
-                restarts=20, iters=40, pos_threshold=0.03,
+                restarts=40, iters=40, pos_threshold=0.01,   # feeding.py:157 (40 restarts, thr 0.01)
                 collision_penalty=(
                     None if spec.extras.get("self_check") is None else
                     lambda q: spec.extras["self_check"](
@@ -254,7 +254,7 @@ class FeedingTask:
                 start_goals=[[(target_pos_ik, tq), (mouth, None)]],
                 extra_goals=[[(mouth, tq)]],
                 q_base=rq, base_quat_center=0.0, pos_offset=off,
-                attempts=30, ik_iters=30)
+                attempts=100, ik_iters=30)
             robot_base_pos, robot_base_quat = bp, bq
 
         state = EnvState(

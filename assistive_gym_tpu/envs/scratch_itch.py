@@ -178,7 +178,7 @@ class ScratchItchTask:
             res = ik_mod.ik_random_restarts(
                 k_ik, spec.robot, ee, target_pos_ik, target_quat_ik, rq,
                 spec.arm_dofs, robot_base_pos, robot_base_quat, rl, ru,
-                restarts=20, iters=40, pos_threshold=0.03,
+                restarts=40, iters=40, pos_threshold=0.03,   # scratch_itch.py:124 (40 restarts)
                 collision_penalty=(
                     None if spec.extras.get("self_check") is None else
                     lambda q: spec.extras["self_check"](
@@ -200,7 +200,7 @@ class ScratchItchTask:
                 start_goals=[[(target_pos_ik, tq)]],
                 extra_goals=[[(shoulder, None), (elbow, None), (wrist, None)]],
                 q_base=rq, base_quat_center=0.0, pos_offset=off,
-                attempts=30, ik_iters=30)
+                attempts=100, ik_iters=30)
             robot_base_pos, robot_base_quat = bp, bq
 
         # scratch target on upper arm or forearm (scratch_itch.py:147-155)

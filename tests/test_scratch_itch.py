@@ -53,12 +53,17 @@ def test_vmap_matches_single(task, reset_step):
     vstate, vobs = jax.jit(jax.vmap(task.reset))(keys)
     actions = jnp.tile(jnp.linspace(-0.5, 0.5, 7)[None], (4, 1))
     vstate2, vobs2, vrew, vdone, vinfo = jax.jit(jax.vmap(task.step))(vstate, actions)
-    # env 2 standalone must match batched env 2 bitwise
+    # env 2 standalone vs batched env 2: XLA reassociates reductions
+    # differently under vmap, so agreement is at the ~1-ulp level, not
+    # bitwise (measured + documented in PARITY.md §5; bit-identity holds
+    # only within one compiled program).  test_parallel asserts the same.
     s1, o1 = reset(keys[2])
-    np.testing.assert_array_equal(np.asarray(vobs[2]), np.asarray(o1))
+    np.testing.assert_allclose(np.asarray(vobs[2]), np.asarray(o1),
+                               rtol=1e-5, atol=1e-6)
     s2, o2, r2, d2, i2 = step(s1, actions[2])
-    np.testing.assert_array_equal(np.asarray(vobs2[2]), np.asarray(o2))
-    np.testing.assert_array_equal(float(vrew[2]), float(r2))
+    np.testing.assert_allclose(np.asarray(vobs2[2]), np.asarray(o2),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(vrew[2]), float(r2), rtol=1e-5)
 
 
 def test_episode_dynamics_bounded(task, reset_step):

@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--seed", type=int, default=123)
     ap.add_argument("--stochastic", action="store_true",
                     help="sample actions instead of using the mean")
+    ap.add_argument("--coop", action="store_true",
+                    help="checkpoint is a dual-policy coop run (*Human-v0)")
     args = ap.parse_args()
 
     from assistive_gym_tpu.registry import load
@@ -37,10 +39,18 @@ def main():
 
     task = load(args.env)
     cfg = ppo.PPOConfig(num_envs=args.episodes, rollout_len=args.horizon)
-    net = ppo.ActorCritic(task.spec.action_len, cfg.hidden)
 
-    ts_template, _ = ppo.init(task, ppo.PPOConfig(num_envs=2, rollout_len=2),
-                              jax.random.PRNGKey(0))
+    if args.coop:
+        from assistive_gym_tpu.parallel import coop
+        (or0, or1), (oh0, oh1), (ar0, ar1), (ah0, ah1) = coop._slices(task)
+        net_r = ppo.ActorCritic(ar1 - ar0, cfg.hidden)
+        net_h = ppo.ActorCritic(ah1 - ah0, cfg.hidden)
+        ts_template, _ = coop.init(task, ppo.PPOConfig(num_envs=2, rollout_len=2),
+                                   jax.random.PRNGKey(0))
+    else:
+        net = ppo.ActorCritic(task.spec.action_len, cfg.hidden)
+        ts_template, _ = ppo.init(task, ppo.PPOConfig(num_envs=2, rollout_len=2),
+                                  jax.random.PRNGKey(0))
     step_i, ts = checkpoint.restore_train_state(args.ckpt_dir, ts_template,
                                                 args.step)
     print(f"loaded {args.ckpt_dir} @ update {step_i}")
@@ -50,7 +60,15 @@ def main():
 
     def policy(obs, key):
         nobs = ts.obs_rms.normalize(obs) if ts.obs_rms is not None else obs
-        mean, log_std, _ = jax.vmap(lambda o: net.apply(ts.params, o))(nobs)
+        if args.coop:
+            mr, sr, _ = jax.vmap(lambda o: net_r.apply(
+                ts.robot.params, o))(nobs[:, or0:or1])
+            mh, sh, _ = jax.vmap(lambda o: net_h.apply(
+                ts.human.params, o))(nobs[:, oh0:oh1])
+            mean = jnp.concatenate([mr, mh], -1)
+            log_std = jnp.concatenate([sr, sh], -1)
+        else:
+            mean, log_std, _ = jax.vmap(lambda o: net.apply(ts.params, o))(nobs)
         if args.stochastic:
             return mean + jax.random.normal(key, mean.shape) * jnp.exp(log_std)
         return mean

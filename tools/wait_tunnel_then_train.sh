@@ -6,7 +6,7 @@
 cd "$(dirname "$0")/.."
 echo "$(date -u +%H:%M:%S) waiting for tunnel..."
 while true; do
-    timeout 120 python -c "
+    timeout 300 python -c "
 import jax, jax.numpy as jnp
 assert jax.devices()[0].platform != 'cpu'
 print(float(jnp.ones(8).sum()))

@@ -47,6 +47,10 @@ def parse_args():
     p.add_argument("--log-dir", default=None)
     p.add_argument("--ckpt-dir", default=None)
     p.add_argument("--ckpt-every", type=int, default=10)
+    p.add_argument("--init-from", default=None, metavar="CKPT_DIR",
+                   help="warm-start params + obs/ret normalization stats from "
+                        "another run's checkpoint (fresh optimizer, fresh lr/"
+                        "shaping schedules); ignored when resuming")
     p.add_argument("--no-mesh", action="store_true",
                    help="single-device, no sharding (debug)")
     p.add_argument("--debug-nans", action="store_true",
@@ -103,6 +107,13 @@ def main():
         if es is not None:
             env_state = es
         print(f"resumed from update {start}")
+    elif args.init_from:
+        # warm start: policy/value params + normalization stats only; the
+        # optimizer, lr schedule, update counter (shaping anneal), and PRNG
+        # key keep their fresh-init values
+        src_step, ts = checkpoint.restore_train_state(
+            args.init_from, ts, skip=("opt_state", "update_i", "key"))
+        print(f"warm-started params/rms from {args.init_from} @ {src_step}")
 
     primary = distributed.is_primary()
     logger = MetricsLogger(args.log_dir) if (args.log_dir and primary) else None
