@@ -25,11 +25,11 @@ run feeding_r3 --env FeedingJaco-v0 --updates 600 --lr-decay \
     --init-from ckpts/feeding_r2b --seed 3
 
 # 2. Bed bathing: 50 Hz physics, fastest env — cheap win.
-run bed_r3 --env BedBathingJaco-v0 --updates 300 --lr-decay \
+run bed_r3 --env BedBathingJaco-v0 --updates 250 --lr-decay \
     --entropy-coef 0.001 --seed 3
 
 # 3. Arm manipulation: dual-arm 14-dof, also 50 Hz.
-run armman_r3 --env ArmManipulationJaco-v0 --updates 300 --lr-decay \
+run armman_r3 --env ArmManipulationJaco-v0 --updates 250 --lr-decay \
     --entropy-coef 0.001 --seed 3
 
 # 4. Drinking: 250 Hz physics, slower env.
