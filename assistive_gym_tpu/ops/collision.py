@@ -102,26 +102,57 @@ def point_box(p, box_pos, box_quat, half):
     return dist, normal, surf
 
 
-def capsule_box(a0, a1, r, box_pos, box_quat, half, iters: int = 24):
-    """Capsule vs oriented box: ternary search over the (convex) distance
-    along the capsule axis, then point-box.  Fixed iteration count keeps the
-    loop jit-static."""
-    lo = jnp.zeros(a0.shape[:-1], a0.dtype)
-    hi = jnp.ones(a0.shape[:-1], a0.dtype)
+def seg_box_t(a0l, a1l, half):
+    """Exact argmin over t in [0,1] of the segment->box outside distance.
 
-    def dist_at(t):
-        p = a0 + t[..., None] * (a1 - a0)
-        d, _, _ = point_box(p, box_pos, box_quat, half)
-        return d
+    Inputs are in the box's local frame (origin at centre, axis-aligned,
+    half-extents `half`).  The squared outside distance
+    f(t) = sum_c max(|p_c(t)| - h_c, 0)^2 is convex piecewise-quadratic in t;
+    its half-derivative phi(t) = sum_c s_c * (p_c - clip(p_c, -h, h)) is
+    monotone piecewise-LINEAR with breakpoints exactly where the segment
+    crosses one of the six slab planes.  Evaluating phi at the (clipped)
+    breakpoints + endpoints brackets the root between two adjacent
+    breakpoints, where one linear interpolation is exact — ~10 cheap
+    evaluations, all data-independent (vs a 20-deep sequential ternary
+    chain), and zero approximation error.  An inverted bracket (lo > hi)
+    means phi == 0 on a chord: the segment passes through the box, and the
+    chord midpoint is returned.
+    """
+    seg = a1l - a0l
 
-    for _ in range(iters):
-        m1 = lo + (hi - lo) / 3.0
-        m2 = hi - (hi - lo) / 3.0
-        d1 = dist_at(m1)
-        d2 = dist_at(m2)
-        lo = jnp.where(d1 > d2, m1, lo)
-        hi = jnp.where(d1 > d2, hi, m2)
-    t = 0.5 * (lo + hi)
+    def phi(t):
+        p = a0l + t[..., None] * seg
+        u = p - jnp.clip(p, -half, half)
+        return jnp.sum(seg * u, -1)
+
+    zeros = jnp.zeros(a0l.shape[:-1], a0l.dtype)
+    cands = [zeros, zeros + 1.0]
+    for c in range(3):
+        sc = seg[..., c]
+        live = jnp.abs(sc) > _EPS
+        safe = jnp.where(live, sc, 1.0)
+        for sgn in (-1.0, 1.0):
+            tc = (sgn * half[..., c] - a0l[..., c]) / safe
+            cands.append(jnp.clip(jnp.where(live, tc, 0.0), 0.0, 1.0))
+    lo, hi = zeros, zeros + 1.0
+    for t in cands:
+        g = phi(t)
+        lo = jnp.maximum(lo, jnp.where(g <= 0.0, t, 0.0))
+        hi = jnp.minimum(hi, jnp.where(g >= 0.0, t, 1.0))
+    glo, ghi = phi(lo), phi(hi)
+    span = ghi - glo
+    t = lo - glo * (hi - lo) / jnp.where(span > _EPS, span, 1.0)
+    t = jnp.clip(t, jnp.minimum(lo, hi), jnp.maximum(lo, hi))
+    t = jnp.where(span > _EPS, t, lo)
+    return jnp.where(lo <= hi, t, 0.5 * (lo + hi))
+
+
+def capsule_box(a0, a1, r, box_pos, box_quat, half):
+    """Capsule vs oriented box: exact closest segment point via seg_box_t in
+    the box frame, then point-box for distance/normal/witness."""
+    a0l = m3.quat_rotate_inv(box_quat, a0 - box_pos)
+    a1l = m3.quat_rotate_inv(box_quat, a1 - box_pos)
+    t = seg_box_t(a0l, a1l, jnp.broadcast_to(half, a0l.shape))
     p = a0 + t[..., None] * (a1 - a0)
     dist, normal, surf = point_box(p, box_pos, box_quat, half)
     dist = dist - r

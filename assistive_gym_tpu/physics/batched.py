@@ -27,8 +27,6 @@ from ..physics import contact as con
 from ..physics.kinematics import _masks
 
 _EPS = 1e-9
-# ternary-search depth of the batch-last capsule-vs-AABB narrowphase
-_BOX_ITERS = 10
 
 
 def _c3(x):
@@ -181,26 +179,38 @@ def evaluate_batched(
         return dmin - RA, B1, _sub(pp, _scale(pr, B1))
 
     def _seg_aabb(A0, A1, RA, B0, HALF):
-        # capsule vs world-static AABB: ternary search localizes the
-        # closest segment point (outside-distance is convex along t), then
-        # point-AABB gives dist/normal incl. the inside (negative) case
+        # capsule vs world-static AABB: exact closest segment point (see
+        # ops/collision.seg_box_t — the outside-distance half-derivative is
+        # monotone piecewise-linear with breakpoints at the six slab-plane
+        # crossings; bracket + one interpolation is exact), then point-AABB
+        # gives dist/normal incl. the inside (negative) case
         seg = _sub(A1, A0)
+        rel = _sub(A0, B0)                       # p(t) - centre = rel + t*seg
 
-        def out2_at(t):
-            p = _add(A0, _scale(t, seg))
-            q = [jnp.maximum(jnp.abs(pc - cc) - hc, 0.0)
-                 for pc, cc, hc in zip(p, B0, HALF)]
-            return _dot(q, q)
+        def phi(t):
+            u = [rc + t * sc for rc, sc in zip(rel, seg)]
+            u = [uc - jnp.clip(uc, -hc, hc) for uc, hc in zip(u, HALF)]
+            return _dot(seg, u)
 
-        lo = jnp.zeros_like(RA)
-        hi = jnp.ones_like(RA)
-        for _ in range(_BOX_ITERS):
-            m1 = lo + (hi - lo) / 3.0
-            m2 = hi - (hi - lo) / 3.0
-            gt = out2_at(m1) > out2_at(m2)
-            lo = jnp.where(gt, m1, lo)
-            hi = jnp.where(gt, hi, m2)
-        tb_ = 0.5 * (lo + hi)
+        zeros = jnp.zeros_like(RA)
+        cands = [zeros, zeros + 1.0]
+        for c in range(3):
+            live = jnp.abs(seg[c]) > _EPS
+            safe = jnp.where(live, seg[c], 1.0)
+            for sgn in (-1.0, 1.0):
+                tc = (sgn * HALF[c] - rel[c]) / safe
+                cands.append(jnp.clip(jnp.where(live, tc, 0.0), 0.0, 1.0))
+        lo, hi = zeros, zeros + 1.0
+        for t in cands:
+            g = phi(t)
+            lo = jnp.maximum(lo, jnp.where(g <= 0.0, t, 0.0))
+            hi = jnp.minimum(hi, jnp.where(g >= 0.0, t, 1.0))
+        glo, ghi = phi(lo), phi(hi)
+        span = ghi - glo
+        tb_ = lo - glo * (hi - lo) / jnp.where(span > _EPS, span, 1.0)
+        tb_ = jnp.clip(tb_, jnp.minimum(lo, hi), jnp.maximum(lo, hi))
+        tb_ = jnp.where(span > _EPS, tb_, lo)
+        tb_ = jnp.where(lo <= hi, tb_, 0.5 * (lo + hi))
         p = _add(A0, _scale(tb_, seg))
         dax = [jnp.abs(pc - cc) - hc for pc, cc, hc in zip(p, B0, HALF)]
         sgn = [jnp.sign(pc - cc) for pc, cc in zip(p, B0)]
