@@ -237,5 +237,7 @@ def make_train_step(task, cfg: PPOConfig, mesh: Mesh = None):
         state_shardings = ppo._env_state_shardings(task, env_sharded)
         return jax.jit(train_step,
                        in_shardings=(repl, state_shardings),
-                       out_shardings=(repl, state_shardings, repl))
-    return jax.jit(train_step)
+                       out_shardings=(repl, state_shardings, repl),
+                       donate_argnums=(0, 1))
+    # donate loop-carried (ts, env_state) — see ppo.make_train_step
+    return jax.jit(train_step, donate_argnums=(0, 1))

@@ -338,8 +338,14 @@ def make_train_step(task, cfg: PPOConfig, mesh: Mesh = None):
             train_step,
             in_shardings=(repl, state_shardings),
             out_shardings=(repl, state_shardings, repl),
+            donate_argnums=(0, 1),
         )
-    return jax.jit(train_step)
+    # donate (ts, env_state): both are threaded loop-carried — the caller
+    # always rebinds them — so XLA may alias params/opt-state/env buffers
+    # in place of a copy (halves peak HBM for the big env-state pytree;
+    # a no-op on CPU). Donation-correctness is pinned by
+    # tests/test_parallel.py::test_train_step_donation.
+    return jax.jit(train_step, donate_argnums=(0, 1))
 
 
 def _shard_mapped_step(task, cfg, mesh: Mesh):

@@ -149,3 +149,21 @@ def test_shaping_potential_train_step():
     phi = jax.vmap(task_f.shaping_potential)(env_state)
     assert phi.shape == (cfg.num_envs,)
     assert np.all(np.asarray(phi) <= 0.0) and np.all(np.isfinite(phi))
+
+
+def test_train_step_donation(task, tiny_cfg):
+    """Donation correctness (SURVEY §5): (ts, env_state) are donated to the
+    jitted train step.  Chained rebinding must thread cleanly; where the
+    backend honors donation, the stale carries must be invalidated so any
+    accidental reuse fails loudly instead of silently reading aliased
+    memory."""
+    ts, es = ppo.init(task, tiny_cfg, jax.random.PRNGKey(11), None)
+    step = ppo.make_train_step(task, tiny_cfg, None)
+    ts2, es2, m1 = step(ts, es)
+    ts3, es3, m2 = step(ts2, es2)      # second step reuses donated buffers
+    for v in jax.tree.leaves(m2):
+        assert np.all(np.isfinite(np.asarray(v)))
+    stale = jax.tree.leaves(ts)[0]
+    if stale.is_deleted():             # backend honored the donation
+        with pytest.raises(Exception):
+            np.asarray(jax.tree.leaves(ts2)[0])  # ts2 was donated to step 2
