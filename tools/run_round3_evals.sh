@@ -17,8 +17,9 @@ ev BedBathingJaco-v0     ckpts/bed_r3      256
 ev ArmManipulationJaco-v0 ckpts/armman_r3  256
 ev DrinkingJaco-v0       ckpts/drinking_r3 256
 ev DressingJaco-v0       ckpts/dressing_r3 128
+ev FeedingJacoHuman-v0   ckpts/coop_feeding_r3 256 --coop
 
-for n in feeding_r3 bed_r3 armman_r3 drinking_r3 dressing_r3; do
+for n in feeding_r3 bed_r3 armman_r3 drinking_r3 dressing_r3 coop_feeding_r3; do
     [ -f "runs/$n/metrics.jsonl" ] || continue
     JAX_PLATFORMS=cpu python tools/plot_training.py "runs/$n/metrics.jsonl" \
         --out "docs/training/${n}_curve.png" 2>/dev/null

@@ -2,14 +2,35 @@
 # Round-3 training schedule: policies for the remaining tasks.
 # Serial by design — ONE process may own the TPU at a time (axon tunnel).
 # Each run auto-resumes from its ckpt dir, so the script is idempotent.
+#
+# Deadline-aware: AGT_DEADLINE (epoch seconds, default = now + 210 min)
+# caps the whole schedule.  Every run gets `timeout min(est, remaining -
+# eval reserve)`; runs that can't get at least 10 useful minutes are
+# skipped.  train.py checkpoints every few updates and auto-resumes, so a
+# timed-out run still leaves an evaluable policy, and the evals always run
+# on whatever exists before the round closes.
 set -uo pipefail
 cd "$(dirname "$0")/.."
 mkdir -p docs/training runs ckpts
 
-run() {  # run <name> <args...>
-    local name=$1; shift
-    echo "=== $(date -u +%H:%M:%S) training $name ==="
-    python train.py "$@" \
+ROUND_END=1787015400            # 2026-08-18T01:10Z — round 3 closes ~01:35,
+                                # and the driver's own bench needs the chip
+DEFAULT=$(( $(date +%s) + 210 * 60 ))
+DEADLINE=${AGT_DEADLINE:-$(( DEFAULT < ROUND_END ? DEFAULT : ROUND_END ))}
+EVAL_RESERVE=$(( 30 * 60 ))     # keep 30 min for run_round3_evals.sh
+
+run() {  # run <name> <est_minutes> <args...>
+    local name=$1 est_min=$2; shift 2
+    local now remaining avail
+    now=$(date +%s)
+    remaining=$(( DEADLINE - now - EVAL_RESERVE ))
+    if (( remaining < 600 )); then
+        echo "=== $(date -u +%H:%M:%S) skip $name (deadline: ${remaining}s left) ==="
+        return
+    fi
+    avail=$(( est_min * 60 < remaining ? est_min * 60 : remaining ))
+    echo "=== $(date -u +%H:%M:%S) training $name (budget ${avail}s) ==="
+    timeout "$avail" python train.py "$@" \
         --log-dir "runs/$name" --ckpt-dir "ckpts/$name" \
         >> "runs/${name}.out" 2>&1
     echo "=== $(date -u +%H:%M:%S) $name done (rc=$?) ==="
@@ -20,31 +41,33 @@ run() {  # run <name> <args...>
 #    targets exactly the failure mode diagnosed in
 #    docs/training/feeding_diagnosis_r3.md, and warm start halves the
 #    chip-hours vs a fresh run (the tunnel outage ate the slack).
-run feeding_r3 --env FeedingJaco-v0 --updates 600 --lr-decay \
+run feeding_r3 115 --env FeedingJaco-v0 --updates 600 --lr-decay \
     --entropy-coef 0.001 --shaping-coef 3.0 --shaping-decay 400 \
     --init-from ckpts/feeding_r2b --seed 3
 
 # 2. Bed bathing: 50 Hz physics, fastest env — cheap win.
-run bed_r3 --env BedBathingJaco-v0 --updates 250 --lr-decay \
+run bed_r3 35 --env BedBathingJaco-v0 --updates 250 --lr-decay \
     --entropy-coef 0.001 --seed 3
 
 # 3. Arm manipulation: dual-arm 14-dof, also 50 Hz.
-run armman_r3 --env ArmManipulationJaco-v0 --updates 250 --lr-decay \
+run armman_r3 35 --env ArmManipulationJaco-v0 --updates 250 --lr-decay \
     --entropy-coef 0.001 --seed 3
 
 # 4. Drinking: 250 Hz physics, slower env.
-run drinking_r3 --env DrinkingJaco-v0 --updates 400 --lr-decay \
+run drinking_r3 95 --env DrinkingJaco-v0 --updates 400 --lr-decay \
     --entropy-coef 0.001 --seed 3
 
 # 5. Dressing: cloth, slowest env; smaller batch for wall-clock.
-run dressing_r3 --env DressingJaco-v0 --updates 200 --num-envs 2048 \
+run dressing_r3 75 --env DressingJaco-v0 --updates 200 --num-envs 2048 \
     --lr-decay --entropy-coef 0.001 --seed 3
 
-# Stretch goals (cut harmlessly if the round ends first):
-# 6. Co-optimization on feeding (robot+human policies, paper §VIII) with
-#    the same annealed tip shaping.
-run coop_feeding_r3 --env FeedingJacoHuman-v0 --coop --updates 400 \
+# Stretch goal: co-optimization on feeding (robot+human policies, paper
+# §VIII) with the same annealed tip shaping.
+run coop_feeding_r3 75 --env FeedingJacoHuman-v0 --coop --updates 400 \
     --lr-decay --entropy-coef 0.001 --shaping-coef 3.0 --shaping-decay 280 \
     --seed 3
 
 echo "=== all training done $(date -u) ==="
+
+# hand the chip straight to the deterministic evals + curve plots
+bash tools/run_round3_evals.sh
