@@ -34,11 +34,13 @@ def main():
 
     keys = jax.random.split(jax.random.PRNGKey(0), BATCH)
     reset = jax.jit(jax.vmap(task.reset))
-    # batched step: fused Pallas dynamics path when available
+    # batched step: fused Pallas dynamics path when available; the state
+    # carry is donated — every caller rebinds it, so XLA reuses the env
+    # buffers in place instead of copying
     if hasattr(task, "step_batched"):
-        step = jax.jit(task.step_batched)
+        step = jax.jit(task.step_batched, donate_argnums=(0,))
     else:
-        step = jax.jit(jax.vmap(task.step))
+        step = jax.jit(jax.vmap(task.step), donate_argnums=(0,))
     state, obs = reset(keys)
     jax.block_until_ready(obs)
 
