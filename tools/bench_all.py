@@ -1,0 +1,70 @@
+"""Per-task TPU throughput table (BASELINE.md §'measured throughput').
+
+Prints one JSON line per env: {"env": ..., "envs": B, "steps_per_s": N}.
+Run ONLY when nothing else owns the TPU (axon allows one client).
+
+    python tools/bench_all.py [--quick]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+# (task, robot, batch, measure_steps); dressing at 2048 lanes (cloth VMEM)
+CASES = [
+    ("scratch_itch", "jaco", 4096, 30),
+    ("bed_bathing", "jaco", 4096, 30),
+    ("feeding", "jaco", 4096, 30),
+    ("drinking", "jaco", 4096, 20),
+    ("dressing", "jaco", 2048, 10),
+    ("arm_manipulation", "jaco", 4096, 30),
+    ("arm_manipulation", "pr2", 4096, 20),  # dual-arm R=47: block_b=512 path
+]
+
+
+def bench_one(task_name, robot, batch, steps):
+    from assistive_gym_tpu.envs import build_task
+    task = build_task(task_name, robot, False)
+    keys = jax.random.split(jax.random.PRNGKey(0), batch)
+    reset = jax.jit(jax.vmap(task.reset))
+    step = (jax.jit(task.step_batched, donate_argnums=(0,))
+            if hasattr(task, "step_batched")
+            else jax.jit(jax.vmap(task.step), donate_argnums=(0,)))
+    state, obs = reset(keys)
+    actions = jax.random.uniform(jax.random.PRNGKey(1),
+                                 (batch, task.spec.action_len),
+                                 jnp.float32, -1.0, 1.0)
+    state, obs, *_ = step(state, actions)       # compile + warm
+    jax.block_until_ready(obs)
+    t0 = time.time()
+    for _ in range(steps):
+        state, obs, rew, done, info = step(state, actions)
+    jax.block_until_ready(obs)
+    return steps * batch / (time.time() - t0)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="halve batch and steps (shorter chip occupancy)")
+    args = ap.parse_args()
+    for task_name, robot, batch, steps in CASES:
+        if args.quick:
+            batch, steps = batch // 2, max(steps // 2, 5)
+        try:
+            sps = bench_one(task_name, robot, batch, steps)
+            print(json.dumps({"env": f"{task_name}/{robot}", "envs": batch,
+                              "steps_per_s": round(sps, 1)}), flush=True)
+        except Exception as e:  # keep the table going past one bad case
+            print(json.dumps({"env": f"{task_name}/{robot}", "envs": batch,
+                              "error": repr(e)[:200]}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
