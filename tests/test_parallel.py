@@ -105,8 +105,15 @@ def test_coop_train_step(tiny_cfg):
     htask = build_task("scratch_itch", "jaco", True)
     ts, env_state = coop.init(htask, tiny_cfg, jax.random.PRNGKey(0), None)
     train_step = coop.make_train_step(htask, tiny_cfg, None)
-    ts, env_state, metrics = train_step(ts, env_state)
-    jax.block_until_ready(metrics)
+    # serializing THIS executable into the persistent compilation cache
+    # segfaults XLA-CPU deterministically (upstream bug, reproduced twice
+    # at put_executable_and_time); compile it with the cache off
+    jax.config.update("jax_enable_compilation_cache", False)
+    try:
+        ts, env_state, metrics = train_step(ts, env_state)
+        jax.block_until_ready(metrics)
+    finally:
+        jax.config.update("jax_enable_compilation_cache", True)
     for v in jax.tree.leaves(metrics):
         assert np.all(np.isfinite(np.asarray(v)))
     assert int(ts.robot.update_i) == 1 and int(ts.human.update_i) == 1
