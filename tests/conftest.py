@@ -22,12 +22,12 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
-# Persistent compilation cache: the suite compiles ~70 large unrolled
-# programs (25-30 min on this 1-core host); cached repeat runs skip the
-# compiles entirely.  This also shrinks exposure to a nondeterministic
-# XLA-CPU compiler segfault observed twice in test_robot_matrix's
-# backend_compile (upstream bug; cached programs never enter the
-# crashing pass).
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("AGT_JAX_CACHE", "/tmp/agt_jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+# NOTE: do NOT enable the persistent compilation cache here.  This
+# XLA:CPU build segfaults both SERIALIZING (put_executable_and_time,
+# deterministic on the coop train-step executable) and DESERIALIZING
+# (get_executable_and_time, on a cached robot-matrix executable) large
+# executables — three distinct suite crashes in round 3.  Opt in
+# explicitly via AGT_JAX_CACHE at your own risk.
+if os.environ.get("AGT_JAX_CACHE"):
+    jax.config.update("jax_compilation_cache_dir", os.environ["AGT_JAX_CACHE"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
