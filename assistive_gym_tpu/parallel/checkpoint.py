@@ -16,6 +16,7 @@ SURVEY.md §5 "failure detection").
 """
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import re
@@ -72,6 +73,16 @@ def latest_step(ckpt_dir: str) -> Optional[int]:
     return max(steps) if steps else None
 
 
+def _overlay(tmpl_sd, stored):
+    """Recursive dict overlay: stored values win where the template has the
+    key; template values fill keys the (older) checkpoint lacks; stored keys
+    with no template slot are dropped."""
+    if isinstance(tmpl_sd, dict) and isinstance(stored, dict):
+        return {k: (_overlay(v, stored[k]) if k in stored else v)
+                for k, v in tmpl_sd.items()}
+    return stored
+
+
 def restore(ckpt_dir: str, train_state_template, env_state_template=None,
             step: Optional[int] = None) -> Tuple[int, Any, Any]:
     """Restore (step, train_state, env_state) onto the templates' structure.
@@ -96,10 +107,18 @@ def restore(ckpt_dir: str, train_state_template, env_state_template=None,
         with open(meta_path) as f:
             has_env_state = has_env_state and json.load(f).get(
                 "has_env_state", True)
-    template = {"train_state": _host_gather(train_state_template)}
-    if has_env_state:
-        template["env_state"] = _host_gather(env_state_template)
-    payload = serialization.from_bytes(template, blob)
+    raw = serialization.msgpack_restore(blob)
+    payload = {"train_state": serialization.from_state_dict(
+        _host_gather(train_state_template), raw["train_state"])}
+    if has_env_state and "env_state" in raw:
+        # lenient on env_state: new env versions may ADD aux fields (e.g.
+        # feeding's tip_pos) — fill anything missing from the template
+        # instead of failing the whole resume on a pre-change checkpoint
+        # (ADVICE.md round-3 #2); extra stored keys are dropped likewise
+        env_tmpl = _host_gather(env_state_template)
+        merged = _overlay(serialization.to_state_dict(env_tmpl),
+                          raw["env_state"])
+        payload["env_state"] = serialization.from_state_dict(env_tmpl, merged)
 
     def _place(host_leaf, tmpl_leaf):
         sh = getattr(tmpl_leaf, "sharding", None)
@@ -112,27 +131,41 @@ def restore(ckpt_dir: str, train_state_template, env_state_template=None,
     return step, ts, es
 
 
+def _restore_fields(tmpl, stored: dict, skip) -> Any:
+    """Apply a stored state-dict onto a train-state dataclass field-by-field,
+    dropping `skip` fields AT EVERY NESTING LEVEL: CoopTrainState nests full
+    TrainStates under .robot/.human, so a top-level-only skip would silently
+    restore the inner optimizer state and update counters (resuming the
+    lr-decay / shaping-anneal schedules mid-way) on a coop warm start
+    (ADVICE.md round-3 #1)."""
+    for name, sub in stored.items():
+        if name in skip or not hasattr(tmpl, name):
+            continue
+        tmpl_leaf = getattr(tmpl, name)
+        if dataclasses.is_dataclass(tmpl_leaf) and isinstance(sub, dict):
+            tmpl = tmpl.replace(**{name: _restore_fields(tmpl_leaf, sub, skip)})
+        else:
+            restored = serialization.from_state_dict(tmpl_leaf, sub)
+            tmpl = tmpl.replace(
+                **{name: jax.tree.map(jax.device_put, restored)})
+    return tmpl
+
+
 def restore_train_state(ckpt_dir: str, train_state_template,
                         step: Optional[int] = None,
                         skip=("opt_state",)) -> Tuple[int, Any]:
-    """Restore the train state field-by-field, ignoring env_state and any
-    fields in `skip` — the policy-evaluation path (tools/eval_policy.py):
-    eval needs params + normalization stats but not the optimizer state,
-    whose structure depends on the training lr schedule."""
+    """Restore the train state field-by-field (recursively — nested coop
+    sub-states honor the same skip set), ignoring env_state and any fields
+    in `skip` — the policy-evaluation path (tools/eval_policy.py): eval
+    needs params + normalization stats but not the optimizer state, whose
+    structure depends on the training lr schedule."""
     if step is None:
         step = latest_step(ckpt_dir)
     if step is None:
         raise FileNotFoundError(f"no checkpoints under {ckpt_dir!r}")
     with open(os.path.join(ckpt_dir, f"ckpt_{step}.msgpack"), "rb") as f:
         raw = serialization.msgpack_restore(f.read())["train_state"]
-    ts = train_state_template
-    for name, stored in raw.items():
-        if name in skip or not hasattr(ts, name):
-            continue
-        tmpl_leaf = getattr(ts, name)
-        restored = serialization.from_state_dict(tmpl_leaf, stored)
-        ts = ts.replace(**{name: jax.tree.map(jax.device_put, restored)})
-    return step, ts
+    return step, _restore_fields(train_state_template, raw, skip)
 
 
 def _prune(ckpt_dir: str, keep: int) -> None:

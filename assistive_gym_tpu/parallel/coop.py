@@ -127,7 +127,8 @@ def make_train_step(task, cfg: PPOConfig, mesh: Mesh = None):
             raw_reward = reward
             if use_shaping:
                 reward = reward + coef * (cfg.gamma * phi_fn(env_state) - phi_s)
-            ret = ret * cfg.gamma + reward
+            # rms return carry on the RAW reward (see ppo.py rollout note)
+            ret = ret * cfg.gamma + raw_reward
             out = dict(obs_r=obs_r, obs_h=obs_h, a_r=a_r, a_h=a_h,
                        logp_r=_gaussian_logp(mr, sr, a_r),
                        logp_h=_gaussian_logp(mh, sh_, a_h),

@@ -218,8 +218,12 @@ def make_train_step(task, cfg: PPOConfig, mesh: Mesh = None):
             raw_reward = reward
             if use_shaping:
                 reward = reward + coef * (cfg.gamma * phi_fn(env_state) - phi_s)
-            # per-env discounted return carry, for the reward-scale rms
-            ret = ret * cfg.gamma + reward
+            # per-env discounted return carry, for the reward-scale rms —
+            # fitted on the RAW reward so the normalization scale stays on
+            # the true reward across the shaping anneal (ADVICE.md round-3
+            # #4; the shaping delta is transient and same-magnitude, so
+            # scaling the shaped stream by raw-fitted stats is sound)
+            ret = ret * cfg.gamma + raw_reward
             out = dict(obs=obs, action=action, logp=logp, value=value,
                        reward=reward, raw_reward=raw_reward, ret_carry=ret,
                        success=info["task_success"])

@@ -10,19 +10,67 @@ throughput: PyBullet Assistive Gym runs one env per process at roughly
 ~150 control-steps/s (50-250 Hz physics / frame_skip, single core, measured
 class of engine) — the reference publishes no numbers (BASELINE.md), so we
 use 150 steps/s/process as the 1x baseline.
+
+Outage-proof by contract: the axon TPU tunnel can go down for hours
+(round 3 lost its whole bench artifact to a bare rc=124).  Device init and
+the total run are bounded by watchdog threads; on timeout or error this
+script still prints one well-formed JSON line (with an "error" field) and
+exits nonzero — the round artifact is an explicit failure record, never
+an empty file.
 """
 import json
+import os
+import sys
+import threading
 import time
-
-import jax
-import jax.numpy as jnp
 
 REFERENCE_STEPS_PER_SEC = 150.0  # see module docstring
 BATCH = 4096
 MEASURE_STEPS = 30
+DEVICE_INIT_BUDGET_S = 240.0   # tunnel-down jax.devices() blocks ~28 min
+TOTAL_BUDGET_S = 1500.0        # compile (~2 min warm tunnel) + measure
+
+
+def _fail(reason):
+    print(json.dumps({
+        "metric": "env-steps/s (FeedingJaco-v0, 4096 envs, 1 chip)",
+        "value": 0,
+        "unit": "env-steps/s",
+        "vs_baseline": 0,
+        "error": reason,
+    }), flush=True)
+    # os._exit: the stuck TPU-client thread cannot be joined
+    os._exit(3)
+
+
+def _watchdog(budget_s, reason, done_event):
+    def run():
+        if not done_event.wait(budget_s):
+            _fail(reason)
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    return t
 
 
 def main():
+    total_done = threading.Event()
+    _watchdog(TOTAL_BUDGET_S, "bench_timeout: run exceeded %ds" % TOTAL_BUDGET_S,
+              total_done)
+
+    import jax
+    import jax.numpy as jnp
+
+    init_done = threading.Event()
+    _watchdog(DEVICE_INIT_BUDGET_S,
+              "tpu_unreachable: device init exceeded %ds (axon tunnel down?)"
+              % DEVICE_INIT_BUDGET_S, init_done)
+    try:
+        devices = jax.devices()
+    except Exception as e:
+        init_done.set()
+        _fail("tpu_unreachable: %r" % (str(e)[:200],))
+    init_done.set()
+
     from assistive_gym_tpu.envs import build_task
 
     try:
@@ -64,8 +112,12 @@ def main():
         "value": round(steps_per_sec, 1),
         "unit": "env-steps/s",
         "vs_baseline": round(steps_per_sec / REFERENCE_STEPS_PER_SEC, 2),
-    }))
+    }), flush=True)
+    total_done.set()
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:
+        _fail("bench_error: %r" % (str(e)[:300],))

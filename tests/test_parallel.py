@@ -79,6 +79,64 @@ def test_checkpoint_prune_and_latest(task, tiny_cfg):
         assert steps == [3, 4]
 
 
+def test_warm_start_skip_recurses_into_coop(tiny_cfg):
+    """--init-from for coop: the skip set must apply INSIDE robot/human
+    sub-states too — otherwise a coop warm start silently resumes the inner
+    optimizer state / lr-decay / shaping-anneal counters (ADVICE r3 #1)."""
+    from assistive_gym_tpu.parallel import coop
+    htask = build_task("scratch_itch", "jaco", True)
+    ts_trained, _ = coop.init(htask, tiny_cfg, jax.random.PRNGKey(0), None)
+    # simulate a trained checkpoint: bumped counters + perturbed params
+    ts_trained = ts_trained.replace(
+        robot=ts_trained.robot.replace(
+            update_i=jnp.asarray(7, jnp.int32),
+            params=jax.tree.map(lambda p: p + 1.0, ts_trained.robot.params)),
+        human=ts_trained.human.replace(update_i=jnp.asarray(7, jnp.int32)))
+    ts_fresh, _ = coop.init(htask, tiny_cfg, jax.random.PRNGKey(1), None)
+    with tempfile.TemporaryDirectory() as d:
+        checkpoint.save(d, 7, ts_trained)
+        _, ts2 = checkpoint.restore_train_state(
+            d, ts_fresh, skip=("opt_state", "update_i", "key"))
+    # params warm-started from the checkpoint...
+    for a, b in zip(jax.tree.leaves(ts2.robot.params),
+                    jax.tree.leaves(ts_trained.robot.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # ...but the nested schedules stay fresh
+    assert int(ts2.robot.update_i) == 0
+    assert int(ts2.human.update_i) == 0
+    np.testing.assert_array_equal(np.asarray(ts2.robot.key),
+                                  np.asarray(ts_fresh.robot.key))
+
+
+def test_restore_fills_missing_env_state_fields(task, tiny_cfg):
+    """Old checkpoints predating an env_state aux addition (e.g. feeding's
+    tip_pos) must restore with the missing field filled from the template
+    instead of failing the resume (ADVICE r3 #2)."""
+    from flax import serialization
+    ts, env_state = ppo.init(task, tiny_cfg, jax.random.PRNGKey(1), None)
+    _, env_tmpl = ppo.init(task, tiny_cfg, jax.random.PRNGKey(11), None)
+    with tempfile.TemporaryDirectory() as d:
+        checkpoint.save(d, 3, ts, env_state)
+        path = os.path.join(d, "ckpt_3.msgpack")
+        with open(path, "rb") as f:
+            raw = serialization.msgpack_restore(f.read())
+        dropped = sorted(raw["env_state"].keys())[0]   # simulate old format
+        del raw["env_state"][dropped]
+        with open(path, "wb") as f:
+            f.write(serialization.msgpack_serialize(raw))
+        step, _, es2 = checkpoint.restore(d, ts, env_tmpl)
+    assert step == 3
+    # the dropped field came from the TEMPLATE (different reset key)...
+    for a, b in zip(jax.tree.leaves(getattr(es2, dropped)),
+                    jax.tree.leaves(getattr(env_tmpl, dropped))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # ...every other field from the checkpoint
+    for name in sorted(raw["env_state"].keys()):
+        for a, b in zip(jax.tree.leaves(getattr(es2, name)),
+                        jax.tree.leaves(getattr(env_state, name))):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_rollout_determinism(task):
     """Same PRNG key ⇒ bit-identical rollout (SURVEY.md §7 hard part 5)."""
     keys = jax.random.split(jax.random.PRNGKey(3), 4)
@@ -110,14 +168,20 @@ def test_coop_train_step(tiny_cfg):
     # times at put_executable_and_time; the jax_enable_compilation_cache
     # flag does not gate the write path in this jax version) — bypass the
     # cache write itself for this one compile
+    # private symbol — guard so a jax upgrade degrades to running unpatched
+    # (conftest leaves the persistent cache off by default, so the write
+    # path is normally never hit anyway); validated on jax 0.9.x
     from jax._src import compilation_cache as _cc
-    _orig_put = _cc.put_executable_and_time
-    _cc.put_executable_and_time = lambda *a, **k: None
+    _patched = hasattr(_cc, "put_executable_and_time")
+    if _patched:
+        _orig_put = _cc.put_executable_and_time
+        _cc.put_executable_and_time = lambda *a, **k: None
     try:
         ts, env_state, metrics = train_step(ts, env_state)
         jax.block_until_ready(metrics)
     finally:
-        _cc.put_executable_and_time = _orig_put
+        if _patched:
+            _cc.put_executable_and_time = _orig_put
     for v in jax.tree.leaves(metrics):
         assert np.all(np.isfinite(np.asarray(v)))
     assert int(ts.robot.update_i) == 1 and int(ts.human.update_i) == 1

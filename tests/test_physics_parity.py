@@ -316,16 +316,190 @@ def test_engine_goldens():
 
 
 # ------------------------------------------- 6. pybullet reference goldens
+#
+# The comparison is DISTRIBUTIONAL, not trajectory-exact: the two engines
+# sample their episode resets from different RNG streams, so per-step state
+# can never match bit-wise.  What parity requires — and what these bands
+# check — is that under the SAME recorded random-action sequences, each
+# observation dimension, the per-step reward, and the contact-force readback
+# have the same statistics over the recorded episodes.  A wrong obs layout,
+# a wrong scale, a broken reward term, or garbage recordings all violate the
+# bands (proven by test_reference_comparison_detects_garbage below).
+#
+# Variance is decomposed per dim into WITHIN-episode (time variation, many
+# effective samples → tight band) and BETWEEN-episode (reset sampling, only
+# E effective samples → band widened by 3/sqrt(E)); per-episode-constant
+# dims like sampled target positions otherwise fail on legitimate reset
+# noise.  Tolerances (documented in PARITY_PHYSICS.md §reference
+# recordings):
+#   mean: |Δmu| <= 0.6*max(sd_within) + 3/sqrt(E)*max(sd_between)
+#                  + 0.08*max(|mu|) + 0.05
+#   std:  WITHIN-episode sd ratio in [1/4, 4] where either sd_w > 0.01
+#         (total sd is reset-spread-dominated for target-relative dims, and
+#          a 3-episode sample legitimately varies ~2-3x — measured on two
+#          same-engine reset streams; scale corruptions are >=6x)
+# applied per obs dim, to rewards, and to total_force_on_human.
+
+_REC_NAME = __import__("re").compile(
+    r"^(?P<env>.+?)_s(?P<seed>\d+)_ep(?P<ep>\d+)\.npz$")
+
+
+def _replay_actions(env_id: str, seed: int, eps, actions: np.ndarray):
+    """Run OUR engine under the recorded action sequences ([E, T, A]);
+    returns (obs [E, T, O], rewards [E, T], force [E, T])."""
+    from assistive_gym_tpu.registry import load
+    task = load(env_id)
+    keys = jnp.stack([jax.random.fold_in(jax.random.PRNGKey(seed), ep)
+                      for ep in eps])
+    state, obs0 = jax.jit(jax.vmap(task.reset))(keys)
+
+    def body(carry, a_t):
+        state = carry
+        state, obs, rew, done, info = jax.vmap(task.step)(state, a_t)
+        return state, (obs, rew, info["total_force_on_human"])
+
+    run = jax.jit(lambda s, a: jax.lax.scan(body, s, a))
+    _, (obs, rew, force) = run(state, jnp.swapaxes(
+        jnp.asarray(actions, jnp.float32), 0, 1))
+    # scan stacks time-major [T, E, ...] → episode-major
+    mv = lambda x: np.moveaxis(np.asarray(x), 0, 1)
+    return mv(obs), mv(rew), mv(force)
+
+
+def _assert_distribution_match(ref: np.ndarray, ours: np.ndarray, label: str,
+                               check_spread: bool = True):
+    """Per-dimension moment bands over [E, T, D] samples (see note above).
+
+    check_spread=False for intermittent signals (contact force): whether an
+    episode has sustained contact is decided by the reset draw, so the
+    within-episode sd legitimately varies ~7x between reset streams at E=3
+    (measured same-engine); the mean band still applies."""
+    E = ref.shape[0]
+    ref = np.asarray(ref, np.float64).reshape(E, ref.shape[1], -1)
+    ours = np.asarray(ours, np.float64).reshape(E, ours.shape[1], -1)
+    mu_r, mu_o = ref.mean((0, 1)), ours.mean((0, 1))
+    sd_wr, sd_wo = ref.std(1).mean(0), ours.std(1).mean(0)
+    sd_w = np.maximum(sd_wr, sd_wo)
+    sd_b = np.maximum(ref.mean(1).std(0), ours.mean(1).std(0))
+    band = (0.6 * sd_w + 3.0 / np.sqrt(E) * sd_b
+            + 0.08 * np.maximum(np.abs(mu_r), np.abs(mu_o)) + 0.05)
+    if E == 1:
+        # a single episode cannot distinguish reset variance from engine
+        # bias on per-episode-constant dims — mean-check moving dims only
+        band = np.where(sd_w > 1e-3, band, np.inf)
+    bad = np.abs(mu_r - mu_o) > band
+    assert not bad.any(), (
+        f"{label}: mean mismatch at dims {np.nonzero(bad)[0][:8]} "
+        f"(|dmu|={np.abs(mu_r - mu_o)[bad][:8]}, band={band[bad][:8]})")
+    if not check_spread:
+        return
+    active = sd_w > 0.01
+    ratio = (sd_wr + 1e-6) / (sd_wo + 1e-6)
+    bad = active & ((ratio > 4.0) | (ratio < 0.25))
+    assert not bad.any(), (
+        f"{label}: within-episode std ratio out of [1/4,4] at dims "
+        f"{np.nonzero(bad)[0][:8]} "
+        f"(sd_ref={sd_wr[bad][:8]}, sd_ours={sd_wo[bad][:8]})")
+
+
+def _compare_recordings(paths):
+    """The actual reference-vs-engine comparison for one (env, seed) group
+    of recording files (one file per episode, tools/record_reference.py)."""
+    eps, datas = [], []
+    env_id = seed = None
+    for path in sorted(paths):
+        name = os.path.basename(path)
+        m = _REC_NAME.match(name)
+        assert m, f"unparseable recording name {name!r} (want ENV_sSEED_epN.npz)"
+        data = np.load(path)
+        assert {"obs", "rewards", "actions", "seed"} <= set(data.files), \
+            f"{name}: missing arrays"
+        env_id, seed = m.group("env"), int(data["seed"])
+        eps.append(int(m.group("ep")))
+        datas.append(data)
+    label = f"{env_id}_s{seed}"
+    T = min(d["rewards"].shape[0] for d in datas)   # episodes may truncate
+    actions = np.stack([d["actions"][:T] for d in datas])
+    ref_obs = np.stack([d["obs"][1:T + 1] for d in datas])  # [0] = reset obs
+    ref_rew = np.stack([d["rewards"][:T] for d in datas])
+    obs, rew, force = _replay_actions(env_id, seed, eps, actions)
+    _assert_distribution_match(ref_obs, obs, f"{label}:obs")
+    _assert_distribution_match(ref_rew[..., None], rew[..., None],
+                               f"{label}:reward")
+    if all("total_force_on_human" in d.files for d in datas):
+        ref_force = np.stack([d["total_force_on_human"][:T] for d in datas])
+        if np.isfinite(ref_force).all():
+            _assert_distribution_match(ref_force[..., None], force[..., None],
+                                       f"{label}:force", check_spread=False)
+
 
 def test_reference_goldens():
-    """Consumes fixed-seed PyBullet recordings when present (produced
-    offline by tools/record_reference.py on a machine with pybullet;
-    see PARITY_PHYSICS.md §offline procedure)."""
+    """Compare fixed-seed PyBullet recordings (tools/record_reference.py,
+    offline procedure — pybullet is not installable here, zero egress)
+    against this engine replaying the same action sequences, with the
+    distributional tolerances documented above."""
     ref_dir = os.path.join(GOLDEN_DIR, "reference")
     if not os.path.isdir(ref_dir) or not os.listdir(ref_dir):
         pytest.skip("no pybullet recordings present (offline procedure; "
                     "see tools/record_reference.py)")
-    # When recordings exist: compare per-step obs/reward distributions.
+    groups = {}
     for name in sorted(os.listdir(ref_dir)):
-        data = np.load(os.path.join(ref_dir, name))
-        assert {"obs", "rewards", "actions", "seed"} <= set(data.files)
+        m = _REC_NAME.match(name)
+        assert m, f"unparseable recording name {name!r}"
+        groups.setdefault((m.group("env"), m.group("seed")), []).append(
+            os.path.join(ref_dir, name))
+    for paths in groups.values():
+        _compare_recordings(paths)
+
+
+def test_reference_comparison_detects_garbage(tmp_path):
+    """The comparison must FAIL on wrong data — otherwise dropped-in
+    recordings would 'pass' regardless of content (VERDICT r3 weak #3).
+    Builds recordings from this engine under a DIFFERENT reset stream
+    (so the bands must absorb legitimate reset-to-reset variance), checks
+    they pass, then corrupts them two ways and checks both are caught."""
+    env_id, seed, E, T = "ScratchItchJaco-v0", 321, 3, 60
+    from assistive_gym_tpu.registry import load
+    task = load(env_id)
+    rng = np.random.RandomState(seed)
+    actions = rng.uniform(-1, 1, size=(E, T, task.spec.action_len)).astype(
+        np.float32)
+    # recording side: reset keys from a DISJOINT stream (seed+7777) —
+    # stands in for pybullet's unrelated reset sampling
+    keys = jnp.stack([jax.random.fold_in(jax.random.PRNGKey(seed + 7777), e)
+                      for e in range(E)])
+    state, obs0 = jax.jit(jax.vmap(task.reset))(keys)
+
+    def body(carry, a_t):
+        state = carry
+        state, obs, rew, done, info = jax.vmap(task.step)(state, a_t)
+        return state, (obs, rew, info["total_force_on_human"])
+
+    _, (obs, rew, force) = jax.jit(lambda s, a: jax.lax.scan(body, s, a))(
+        state, jnp.swapaxes(jnp.asarray(actions), 0, 1))
+    obs = np.moveaxis(np.asarray(obs), 0, 1)       # [E, T, O]
+    rew = np.moveaxis(np.asarray(rew), 0, 1)
+    force = np.moveaxis(np.asarray(force), 0, 1)
+    obs = np.concatenate([np.asarray(obs0)[:, None], obs], 1)  # reset row
+
+    def write_group(subdir, obs_arr, rew_arr):
+        os.makedirs(tmp_path / subdir, exist_ok=True)
+        paths = []
+        for e in range(E):
+            p = tmp_path / subdir / f"{env_id}_s{seed}_ep{e}.npz"
+            np.savez(p, obs=obs_arr[e].astype(np.float32),
+                     actions=actions[e],
+                     rewards=np.asarray(rew_arr[e], np.float32),
+                     total_force_on_human=np.asarray(force[e], np.float32),
+                     task_success=np.zeros(T, np.float32),
+                     seed=np.int64(seed))
+            paths.append(str(p))
+        return paths
+
+    _compare_recordings(write_group("good", obs, rew))   # honest data passes
+
+    with pytest.raises(AssertionError, match="obs"):     # wrong obs scale
+        _compare_recordings(write_group("bad_scale", obs * 6.0, rew))
+
+    with pytest.raises(AssertionError, match="reward"):  # broken reward term
+        _compare_recordings(write_group("bad_rew", obs, rew + 2.0))

@@ -9,12 +9,34 @@ import argparse
 import json
 import os
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp
+
+
+def _guard_device_init(budget_s=240.0):
+    """Bound jax.devices(); tunnel-down init blocks ~28 min otherwise."""
+    done = threading.Event()
+
+    def watchdog():
+        if not done.wait(budget_s):
+            print(json.dumps({"error": "tpu_unreachable: device init "
+                              "exceeded %ds" % budget_s}), flush=True)
+            os._exit(3)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+    try:
+        jax.devices()
+    except Exception as e:
+        done.set()
+        print(json.dumps({"error": "tpu_unreachable: %r" % str(e)[:200]}),
+              flush=True)
+        os._exit(3)
+    done.set()
 
 # (task, robot, batch, measure_steps); dressing at 2048 lanes (cloth VMEM)
 CASES = [
@@ -23,6 +45,7 @@ CASES = [
     ("feeding", "jaco", 4096, 30),
     ("drinking", "jaco", 4096, 20),
     ("dressing", "jaco", 2048, 10),
+    ("dressing", "jaco", 4096, 10),   # r4: neighbor-table cloth, HBM-bound
     ("arm_manipulation", "jaco", 4096, 30),
     ("arm_manipulation", "pr2", 4096, 20),  # dual-arm R=47: block_b=512 path
 ]
@@ -54,6 +77,7 @@ def main():
     ap.add_argument("--quick", action="store_true",
                     help="halve batch and steps (shorter chip occupancy)")
     args = ap.parse_args()
+    _guard_device_init()
     for task_name, robot, batch, steps in CASES:
         if args.quick:
             batch, steps = batch // 2, max(steps // 2, 5)
