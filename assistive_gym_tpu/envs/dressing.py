@@ -132,15 +132,24 @@ CLOTH_GEOM_IDS = (1, 2, 3, 4, 8, 9, 10, 11, 12, 13, 16, 19, 20, 21)
 def _cloth_substep_b(spec, states, aux, hpos, hquat, rpos, rquat,
                      p0_bl, p1_bl, rad_bl, contacts, dt):
     """Batch-last cloth hook for the zero-transpose loop (VERDICT round-1
-    weak #3): cloth in [V,3,B] layout via cloth_mod.substep_b; the human
-    capsule world segments are reused from the substep's ContactB."""
+    weak #3): cloth in [V,3,B] layout; the human capsule world segments are
+    reused from the substep's ContactB.  On TPU the whole substep runs as
+    the fused MXU Pallas kernel (ops/pallas_cloth.py, VMEM-resident across
+    all Jacobi iterations); elsewhere the XLA fp32 path (cloth.substep_b),
+    which the kernel is equivalence-pinned against in
+    tests/test_pallas_cloth.py."""
     T = lambda a: jnp.transpose(a, (1, 2, 0))             # [B,V,3]->[V,3,B]
     Tb = lambda a: jnp.transpose(a, (2, 0, 1))
     ee = rpos[spec.tool_tip_link]                         # [3,B]
     anchor_pos = ee[None] + T(aux["anchor_offsets"])      # [A,3,B]
     ci = np.asarray(CLOTH_GEOM_IDS)
     seg_a, seg_b = contacts.w0[ci], contacts.w1[ci]       # [Gc,3,B]
-    x, v, cf, cp = cloth_mod.substep_b(
+    if jax.default_backend() == "tpu":
+        from ..ops import pallas_cloth
+        substep_fn = pallas_cloth.substep_b_kernel
+    else:
+        substep_fn = cloth_mod.substep_b
+    x, v, cf, cp = substep_fn(
         T(aux["cloth_x"]), T(aux["cloth_v"]), dt, (0.0, 0.0, -9.81),
         anchor_pos, seg_a, seg_b, rad_bl[ci])
     return dict(aux, cloth_x=Tb(x), cloth_v=Tb(v),
