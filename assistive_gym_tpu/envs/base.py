@@ -809,12 +809,40 @@ def furniture_pairs(geoms, cand_ids, furn_ids, group, *, robot=None,
     wheelchair-mounted Jaco), pairs whose capsule already overlaps a
     furniture box at the reset configuration are dropped: the coarse
     capsule fit would otherwise inject permanent phantom forces that the
-    reference's tighter convex meshes do not produce."""
+    reference's tighter convex meshes do not produce.
+
+    Additionally (fixed-base case only), pairs the link can NEVER reach
+    are dropped via a conservative chain-length bound: over every joint
+    configuration, ||link_point - base|| <= sum of joint-origin offsets
+    along the base->link chain (+ prismatic travel) + the capsule's local
+    endpoint norm + radius.  A furniture box whose distance from the base
+    exceeds that bound cannot contact the capsule in any pose, so the
+    pair row is statically pruned from the narrowphase table."""
     import jax.numpy as jnp
     from ..physics import kinematics as kin
+    from ..physics import model as pmod
 
     keep_fn = None
     if robot is not None and base_pos is not None:
+        def link_reach(l):
+            r = 0.0
+            while l >= 0:
+                r += float(np.linalg.norm(robot.origin_xyz[l]))
+                if robot.joint_type[l] == pmod.JOINT_PRISMATIC:
+                    r += float(max(abs(robot.lower[l]), abs(robot.upper[l])))
+                l = int(robot.parent[l])
+            return r
+
+        def never_reaches(g, fg):
+            l = g["link"] - n_human_links
+            ends = [np.asarray(g.get("p0", (0, 0, 0)), np.float64),
+                    np.asarray(g.get("p1", g.get("p0", (0, 0, 0))), np.float64)]
+            reach = (link_reach(l) + max(np.linalg.norm(e) for e in ends)
+                     + g.get("radius", 0.0))
+            c = np.asarray(fg["p0"], np.float64)
+            h = np.asarray(fg["half"], np.float64)
+            d = np.maximum(np.abs(np.asarray(base_pos, np.float64) - c) - h, 0.0)
+            return np.sqrt((d ** 2).sum()) > reach + 0.02
         fk = kin.fk(robot, jnp.asarray(default_q, jnp.float32),
                     jnp.asarray(base_pos, jnp.float32),
                     jnp.asarray(base_quat, jnp.float32))
@@ -837,7 +865,8 @@ def furniture_pairs(geoms, cand_ids, furn_ids, group, *, robot=None,
             d = np.maximum(np.abs(p - c[None]) - h[None], 0.0)
             return np.sqrt((d ** 2).sum(-1)).min() - g.get("radius", 0.0)
 
-        keep_fn = lambda g, fg: seg_box_clear(g, fg) > clearance
+        keep_fn = lambda g, fg: (seg_box_clear(g, fg) > clearance
+                                 and not never_reaches(g, fg))
 
     pairs = []
     for ci in cand_ids:
