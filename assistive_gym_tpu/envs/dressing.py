@@ -144,7 +144,9 @@ def _cloth_substep_b(spec, states, aux, hpos, hquat, rpos, rquat,
     anchor_pos = ee[None] + T(aux["anchor_offsets"])      # [A,3,B]
     ci = np.asarray(CLOTH_GEOM_IDS)
     seg_a, seg_b = contacts.w0[ci], contacts.w1[ci]       # [Gc,3,B]
-    if jax.default_backend() == "tpu":
+    import os
+    if (jax.default_backend() == "tpu"
+            and os.environ.get("AGT_CLOTH_KERNEL", "1") != "0"):
         from ..ops import pallas_cloth
         substep_fn = pallas_cloth.substep_b_kernel
     else:

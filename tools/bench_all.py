@@ -88,6 +88,24 @@ def main():
         except Exception as e:  # keep the table going past one bad case
             print(json.dumps({"env": f"{task_name}/{robot}", "envs": batch,
                               "error": repr(e)[:200]}), flush=True)
+            # dressing's Pallas cloth kernel has never run on real silicon:
+            # if it faults (VMEM/lowering), re-bench once on the XLA path so
+            # the round still records a dressing number
+            if (task_name == "dressing"
+                    and os.environ.get("AGT_CLOTH_KERNEL") != "0"):
+                os.environ["AGT_CLOTH_KERNEL"] = "0"
+                try:
+                    sps = bench_one(task_name, robot, batch, steps)
+                    print(json.dumps({"env": f"{task_name}/{robot}",
+                                      "envs": batch, "path": "xla",
+                                      "steps_per_s": round(sps, 1)}),
+                          flush=True)
+                except Exception as e2:
+                    print(json.dumps({"env": f"{task_name}/{robot}",
+                                      "envs": batch, "path": "xla",
+                                      "error": repr(e2)[:200]}), flush=True)
+                finally:
+                    del os.environ["AGT_CLOTH_KERNEL"]
 
 
 if __name__ == "__main__":

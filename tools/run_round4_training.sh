@@ -79,6 +79,13 @@ run coop_feeding_r4 70 --env FeedingJacoHuman-v0 --coop --updates 400 \
 # 6. Dressing: cloth, slowest env; smaller batch for wall-clock.
 run dressing_r4 70 --env DressingJaco-v0 --updates 200 --num-envs 2048 \
     --lr-decay --entropy-coef 0.001 --seed 3
+# the Pallas cloth kernel has never run on real silicon — if it faulted
+# before the first checkpoint landed, retrain on the XLA cloth path
+if ! ls ckpts/dressing_r4/ckpt_*.msgpack >/dev/null 2>&1; then
+    echo "=== dressing produced no checkpoint; retrying on the XLA cloth path ==="
+    AGT_CLOTH_KERNEL=0 run dressing_r4 50 --env DressingJaco-v0 \
+        --updates 150 --num-envs 2048 --lr-decay --entropy-coef 0.001 --seed 3
+fi
 
 echo "=== all training done $(date -u) ==="
 
