@@ -15,6 +15,12 @@ ev() {  # ev <env> <ckpt-dir> <episodes> [extra args...]
 }
 
 ev FeedingJaco-v0         ckpts/feeding_r4      256
+# reset-condition failure clustering (head pose / bowl / impairment draw)
+if [ -d ckpts/feeding_r4 ]; then
+    timeout 2400 python tools/diag_eval_feeding.py --ckpt-dir ckpts/feeding_r4 \
+        --episodes 256 2>&1 | grep -v -E "WARNING|slow_operation" \
+        | tee docs/training/feeding_diag_r4.txt
+fi
 ev BedBathingJaco-v0      ckpts/bed_r4          256
 ev ArmManipulationJaco-v0 ckpts/armman_r4       256
 ev DrinkingJaco-v0        ckpts/drinking_r4     256
