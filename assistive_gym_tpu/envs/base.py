@@ -797,6 +797,22 @@ def compose_robot_with_tool(task: str, robot_name: str, left: bool = True):
     return model, tool_base, model.nlinks - 1, info
 
 
+def link_reach_bound(robot, link: int) -> float:
+    """Upper bound on ||link origin - base origin|| over ALL joint
+    configurations: rotations preserve each joint-origin offset's norm, so
+    the triangle inequality gives sum ||origin_xyz|| along the base->link
+    chain; prismatic joints add their max travel.  Dominance over FK is
+    property-tested in tests/test_tasks.py."""
+    from ..physics import model as pmod
+    r = 0.0
+    while link >= 0:
+        r += float(np.linalg.norm(robot.origin_xyz[link]))
+        if robot.joint_type[link] == pmod.JOINT_PRISMATIC:
+            r += float(max(abs(robot.lower[link]), abs(robot.upper[link])))
+        link = int(robot.parent[link])
+    return r
+
+
 def furniture_pairs(geoms, cand_ids, furn_ids, group, *, robot=None,
                     base_pos=None, base_quat=None, default_q=None,
                     n_human_links=0, clearance=0.005):
@@ -820,24 +836,15 @@ def furniture_pairs(geoms, cand_ids, furn_ids, group, *, robot=None,
     pair row is statically pruned from the narrowphase table."""
     import jax.numpy as jnp
     from ..physics import kinematics as kin
-    from ..physics import model as pmod
 
     keep_fn = None
     if robot is not None and base_pos is not None:
-        def link_reach(l):
-            r = 0.0
-            while l >= 0:
-                r += float(np.linalg.norm(robot.origin_xyz[l]))
-                if robot.joint_type[l] == pmod.JOINT_PRISMATIC:
-                    r += float(max(abs(robot.lower[l]), abs(robot.upper[l])))
-                l = int(robot.parent[l])
-            return r
-
         def never_reaches(g, fg):
             l = g["link"] - n_human_links
             ends = [np.asarray(g.get("p0", (0, 0, 0)), np.float64),
                     np.asarray(g.get("p1", g.get("p0", (0, 0, 0))), np.float64)]
-            reach = (link_reach(l) + max(np.linalg.norm(e) for e in ends)
+            reach = (link_reach_bound(robot, l)
+                     + max(np.linalg.norm(e) for e in ends)
                      + g.get("radius", 0.0))
             c = np.asarray(fg["p0"], np.float64)
             h = np.asarray(fg["half"], np.float64)

@@ -91,3 +91,31 @@ def test_arm_limits_classifier():
     feats = arm_limits.right_arm_features(
         jnp.asarray(0.3), jnp.asarray(-0.2), jnp.asarray(0.0), jnp.asarray(-0.5))
     assert bool(arm_limits.is_valid(feats))
+
+
+def test_link_reach_bound_dominates_fk():
+    """The static pair-prune bound (base.link_reach_bound) must upper-bound
+    the true FK distance from the base for EVERY link over random joint
+    configurations — otherwise the prune could drop reachable furniture
+    pairs and silently lose contacts."""
+    from assistive_gym_tpu.envs import base
+    from assistive_gym_tpu.physics import kinematics as kin
+
+    task = build_task("feeding", "jaco", False)
+    robot = task.spec.robot
+    lo, hi = (np.asarray(a) for a in robot.dof_limits())
+    # unlimited (continuous) dofs: sample a full turn
+    unlimited = hi < lo
+    lo = np.where(unlimited, -np.pi, lo)
+    hi = np.where(unlimited, np.pi, hi)
+    bounds = np.asarray([base.link_reach_bound(robot, l)
+                         for l in range(robot.nlinks)])
+    base_pos = jnp.zeros(3)
+    base_quat = jnp.asarray([0.0, 0.0, 0.0, 1.0])
+    rng = np.random.RandomState(0)
+    qs = rng.uniform(lo, hi, size=(64, robot.ndof)).astype(np.float32)
+    fk_pos = jax.vmap(lambda q: kin.fk(robot, q, base_pos, base_quat).pos)(
+        jnp.asarray(qs))
+    d = np.linalg.norm(np.asarray(fk_pos), axis=-1)      # [64, L]
+    assert (d <= bounds[None] + 1e-5).all(), \
+        (d.max(0) - bounds).max()
