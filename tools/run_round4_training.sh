@@ -16,8 +16,9 @@ set -uo pipefail
 cd "$(dirname "$0")/.."
 mkdir -p docs/training runs ckpts
 
-ROUND_END=1787067000            # 2026-08-18T15:30Z — round 4 closes ~16:20,
-                                # and the driver's own bench needs the chip
+ROUND_END=1787079600            # 2026-08-18T19:00Z — this session started
+                                # ~11:22Z with ~8h wall clock; leave ~20 min
+                                # for the driver's own bench on the chip
 DEFAULT=$(( $(date +%s) + 360 * 60 ))
 DEADLINE=${AGT_DEADLINE:-$(( DEFAULT < ROUND_END ? DEFAULT : ROUND_END ))}
 EVAL_RESERVE=$(( 35 * 60 ))     # keep 35 min for run_round4_evals.sh
