@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from functools import partial
 from typing import Any, Callable, Dict, Optional, Tuple
 
@@ -917,30 +918,53 @@ def settle_human(spec: SceneSpec, state: EnvState, sim_dofs, n_steps: int,
     (bed_bathing.py:126-141, arm_manipulation.py:116-147): run n_steps
     physics substeps with the given human dofs free (no motors), scene
     contacts active, robot frozen.  Returns (human_q, human_qd).
+
+    This is the reset-time hot loop (200-250 substeps per bed-task reset),
+    so it diverges from take_step's exact pipeline in two TPU-motivated,
+    carefully-bounded ways: (1) the pair table is statically cut to rows
+    touching a human link — bitwise identical human torques, since penalty
+    pairs are independent and only human-link wrenches are read back; (2)
+    the mass-matrix solve uses Jacobi-PCG instead of batched Cholesky
+    (dynamics._pcg_solve — ~1e-6 relative difference, pinned by test),
+    because vmapped small Cholesky serialises on TPU (measured ~130 ms per
+    [4096,40,40] factor+solve: the whole settle cost 26-32 s of every
+    bed/armman train update before this, ~85% of update wall time).
     """
     lower, upper = state.human["lower"], state.human["upper"]
+    Lh = spec.n_human_links
+    # AGT_SETTLE_SOLVER=chol restores the exact round-3 settle (used by
+    # tools/bench_reset.py to measure the PCG win on silicon)
+    solver = os.environ.get("AGT_SETTLE_SOLVER", "cg")
+    if solver == "chol":
+        pairs_h = spec.pairs
+    else:
+        # static prune: drop (robot x furniture/self) rows — dead work here
+        pairs_h = spec.pairs.involving_links(spec.geoms, 0, Lh)
+    # the robot is frozen throughout: its FK is loop-invariant
+    fk_r = kin.fk(spec.robot, state.robot_q, state.robot_base_pos,
+                  state.robot_base_quat)
+    zeros_r = jnp.zeros_like(fk_r.pos)
+    inertial = _human_inertial(state)
 
     def body(carry, _):
         hq, hqd = carry
         fk_h = kin.fk(spec.human, hq, state.human_base_pos, state.human_base_quat,
                       origin_xyz=state.human["origin_xyz"])
-        fk_r = kin.fk(spec.robot, state.robot_q, state.robot_base_pos,
-                      state.robot_base_quat)
         vel_h = kin.link_velocities(spec.human, fk_h, hqd)
-        c = con.evaluate(spec.geoms, spec.pairs,
+        c = con.evaluate(spec.geoms, pairs_h,
                          jnp.concatenate([fk_h.pos, fk_r.pos], 0),
                          jnp.concatenate([fk_h.quat, fk_r.quat], 0),
-                         jnp.concatenate([vel_h.v, jnp.zeros_like(fk_r.pos)], 0),
-                         jnp.concatenate([vel_h.w, jnp.zeros_like(fk_r.pos)], 0),
+                         jnp.concatenate([vel_h.v, zeros_r], 0),
+                         jnp.concatenate([vel_h.w, zeros_r], 0),
                          p0=state.geom_p0, p1=state.geom_p1,
                          radius=state.geom_radius)
-        Lh = spec.n_human_links
         tau_h = kin.link_wrenches_to_joint_torques(
             spec.human, fk_h, c.link_force[:Lh], c.link_torque[:Lh])
         res = dyn.substep(
             spec.human, hq, hqd, dt, jnp.asarray(gravity, f32),
             tau_ext=tau_h, limit_lower=lower, limit_upper=upper,
-            fk_res=fk_h, inertial=_human_inertial(state), sim_dofs=sim_dofs)
+            fk_res=fk_h, inertial=inertial, sim_dofs=sim_dofs,
+            solver=solver)
         return (res.q, res.qd), None
 
     (hq, hqd), _ = jax.lax.scan(body, (state.human_q, state.human_qd),

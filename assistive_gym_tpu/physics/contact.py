@@ -99,6 +99,22 @@ class PairTable:
         """Reorder insertion-order per-pair metadata to the stored order."""
         return np.asarray(per_pair_values)[self.perm]
 
+    def involving_links(self, gs: "GeomSet", link_lo: int, link_hi: int
+                        ) -> "PairTable":
+        """Static subtable of rows where either geom sits on a link in
+        [link_lo, link_hi).  Penalty-contact pairs are independent, so
+        dropping rows that touch no such link leaves the kept links'
+        accumulated forces/torques bitwise identical — used by the
+        reset-time human settle, which reads back only human-link torques
+        (the robot is frozen, so its pair forces are dead work there)."""
+        la, lb = gs.link[self.a], gs.link[self.b]
+        keep = (((la >= link_lo) & (la < link_hi)) |
+                ((lb >= link_lo) & (lb < link_hi)))
+        return dataclasses.replace(
+            self, a=self.a[keep], b=self.b[keep], kind=self.kind[keep],
+            stiffness=self.stiffness[keep], damping=self.damping[keep],
+            friction=self.friction[keep], group=self.group[keep], perm=None)
+
     def kind_slices(self):
         """[(kind, slice)] of the contiguous per-kind row ranges."""
         out = []

@@ -192,6 +192,42 @@ def rnea_bias(model: ArticulatedModel, fk_res: FK, qd: jnp.ndarray,
     return jnp.sum(S * acc, -1)
 
 
+def _pcg_solve(A, b, iters: int):
+    """Jacobi-preconditioned conjugate gradients for one SPD system.
+
+    TPU-motivated alternative to cho_factor/cho_solve: under vmap, batched
+    Cholesky of small (n<=40) matrices lowers to a sequential loop of tiny
+    dynamic-slice updates (~130 ms per [4096,40,40] batch on v5e), while CG
+    is `iters` batched matvecs — pure MXU work.  With iters=n CG is exact in
+    exact arithmetic; in fp32 with the Jacobi preconditioner the residual on
+    these mass matrices lands at ~1e-6 relative (pinned in
+    tests/test_dynamics.py::test_substep_cg_matches_cholesky).  Used on the
+    reset-time settle path only — take_step keeps the Cholesky solve so
+    rollout goldens stay bitwise stable.
+    """
+    dinv = 1.0 / jnp.diagonal(A)
+    x = dinv * b
+    r = b - A @ x
+    z = dinv * r
+    p = z
+    rz = r @ z
+
+    def body(carry, _):
+        x, r, p, rz = carry
+        Ap = A @ p
+        alpha = rz / jnp.maximum(p @ Ap, 1e-30)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = dinv * r
+        rz_new = r @ z
+        beta = rz_new / jnp.maximum(rz, 1e-30)
+        p = z + beta * p
+        return (x, r, p, rz_new), None
+
+    (x, _, _, _), _ = jax.lax.scan(body, (x, r, p, rz), None, length=iters)
+    return x
+
+
 class StepResult(NamedTuple):
     q: jnp.ndarray
     qd: jnp.ndarray
@@ -218,6 +254,7 @@ def substep(
     base_quat: Optional[jnp.ndarray] = None,
     inertial=None,
     sim_dofs=None,
+    solver: str = "chol",   # "chol" (exact, rollout path) | "cg" (settle path)
 ) -> StepResult:
     """One semi-implicit Euler physics substep of a fixed-base tree.
 
@@ -261,8 +298,12 @@ def substep(
     # implicit joint damping for stability
     M_imp = M_act + jnp.diag(damping * actf) * dt
     rhs = (tau - bias - damping * qds) * actf
-    Mchol = jax.scipy.linalg.cho_factor(M_imp + 1e-8 * jnp.eye(n, dtype=f32))
-    qdd = jax.scipy.linalg.cho_solve(Mchol, rhs)
+    M_reg = M_imp + 1e-8 * jnp.eye(n, dtype=f32)
+    if solver == "cg":
+        qdd = _pcg_solve(M_reg, rhs, iters=n)
+    else:
+        Mchol = jax.scipy.linalg.cho_factor(M_reg)
+        qdd = jax.scipy.linalg.cho_solve(Mchol, rhs)
     qd1 = qds + dt * qdd * actf
 
     # --- position-servo motor impulses (Bullet POSITION_CONTROL parity) ---
