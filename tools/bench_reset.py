@@ -56,23 +56,24 @@ def main():
     ap.add_argument("--envs", nargs="+",
                     default=["BedBathingJaco-v0", "ArmManipulationJaco-v0"])
     ap.add_argument("--batch", type=int, default=4096)
-    ap.add_argument("--solvers", nargs="+", default=["chol", "cg"])
+    ap.add_argument("--solvers", nargs="+", default=["cg", "chol"])
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
-    recs = []
+    def emit(rec):
+        if args.out:
+            os.makedirs(os.path.dirname(args.out), exist_ok=True)
+            with open(args.out, "a") as f:   # incremental: a timeout mid-run
+                f.write(json.dumps(rec) + "\n")  # keeps earlier measurements
+
     for env_id in args.envs:
         for solver in args.solvers:
             try:
-                recs.append(bench_env(env_id, args.batch, solver))
+                emit(bench_env(env_id, args.batch, solver))
             except Exception as e:  # bank partial results on any fault
-                print(json.dumps({"env": env_id, "solver": solver,
-                                  "error": str(e)[:300]}), flush=True)
-    if args.out:
-        os.makedirs(os.path.dirname(args.out), exist_ok=True)
-        with open(args.out, "w") as f:
-            for r in recs:
-                f.write(json.dumps(r) + "\n")
+                rec = {"env": env_id, "solver": solver, "error": str(e)[:300]}
+                print(json.dumps(rec), flush=True)
+                emit(rec)
 
 
 if __name__ == "__main__":
