@@ -295,6 +295,26 @@ class DrinkingTask:
             self.spec, state, action)
         return self._finish(state, action, contacts, fk_h, fk_r, vel_h, vel_r)
 
+    def shaping_potential(self, state: EnvState) -> jax.Array:
+        """Training-time shaping potential: -(mean ||alive water - mouth||).
+
+        The TRUE reward (reference drinking.py:26-27,70-74) already shapes
+        cup-top distance and tilt, but gives no gradient toward POURING —
+        water only scores once a particle escapes within 3 cm of the mouth,
+        so a policy that parks the cup near the face has no signal to tip it
+        the right way.  The water-to-mouth potential rewards any tilt that
+        moves the stream toward the mouth.  Used only via
+        PPOConfig.shaping_coef (annealed, potential-based, Ng et al. 1999) —
+        the env reward itself is untouched.  The mouth anchor is the
+        reset-time aux["target_pos"]; head motion during the episode is cm
+        scale, irrelevant for a shaping gradient.
+        """
+        pos = state.aux["water_pos"]
+        alive = state.aux["water_alive"]
+        d = jnp.linalg.norm(pos - state.aux["target_pos"][None], axis=-1)
+        return -(jnp.sum(jnp.where(alive, d, 0.0))
+                 / jnp.maximum(jnp.sum(alive), 1))
+
     def step_batched(self, states: EnvState, actions: jax.Array):
         """Batched step: fused Pallas dynamics (base.take_step_batched) +
         vmapped reward/obs logic.  Semantically equals jax.vmap(self.step)."""

@@ -226,6 +226,30 @@ def test_shaping_potential_train_step():
     assert np.all(np.asarray(phi) <= 0.0) and np.all(np.isfinite(phi))
 
 
+def test_drinking_shaping_potential():
+    """Drinking's water-to-mouth potential: nonpositive, finite, batched,
+    and insensitive to dead particles (a particle removed from the alive
+    mask must not change Phi through the masked mean)."""
+    task_d = build_task("drinking", "jaco", False)
+    env_state, _ = jax.vmap(task_d.reset)(
+        jax.random.split(jax.random.PRNGKey(0), 2))
+    phi = jax.vmap(task_d.shaping_potential)(env_state)
+    assert phi.shape == (2,)
+    assert np.all(np.asarray(phi) <= 0.0) and np.all(np.isfinite(phi))
+
+    # kill one particle far from the mouth -> Phi must strictly improve
+    aux = dict(env_state.aux)
+    mouth = aux["target_pos"]                              # [2,3]
+    d = np.linalg.norm(np.asarray(aux["water_pos"] - mouth[:, None]), axis=-1)
+    far = int(np.argmax(d[0]))
+    alive = np.asarray(aux["water_alive"]).copy()
+    alive[0, far] = False
+    aux["water_alive"] = jnp.asarray(alive)
+    phi2 = jax.vmap(task_d.shaping_potential)(env_state.replace(aux=aux))
+    assert float(phi2[0]) > float(phi[0])
+    np.testing.assert_allclose(float(phi2[1]), float(phi[1]), rtol=1e-6)
+
+
 def test_train_step_donation(task, tiny_cfg):
     """Donation correctness (SURVEY §5): (ts, env_state) are donated to the
     jitted train step.  Chained rebinding must thread cleanly; where the
