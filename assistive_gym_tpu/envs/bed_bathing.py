@@ -244,8 +244,43 @@ class BedBathingTask:
             total_targets=total.astype(f32)))
 
         fk_h2, fk_r2 = base.scene_fk(spec, state)
+        state = state.replace(aux=dict(
+            state.aux,
+            min_target_dist=self._min_target_dist(
+                fk_h2, fk_r2, up_local, fo_local, up_valid, fo_valid)))
         obs = self._get_obs(state, fk_h2, fk_r2, jnp.zeros(1, f32), jnp.zeros(2, f32))
         return state, obs
+
+    def _min_target_dist(self, fk_h, fk_r, up_local, fo_local,
+                         up_alive, fo_alive):
+        """Tool-tip distance to the nearest ALIVE wipe target (0 when all
+        targets are wiped, so the shaping potential stays bounded)."""
+        spec = self.spec
+        up_w = base.transform_points_on_link(fk_h, 5, up_local)
+        fo_w = base.transform_points_on_link(fk_h, 7, fo_local)
+        tool = fk_r.pos[spec.tool_tip_link]
+        inf = jnp.asarray(jnp.inf, f32)
+        d = jnp.minimum(
+            jnp.min(jnp.where(up_alive,
+                              jnp.linalg.norm(up_w - tool[None], axis=-1), inf)),
+            jnp.min(jnp.where(fo_alive,
+                              jnp.linalg.norm(fo_w - tool[None], axis=-1), inf)))
+        return jnp.where(jnp.isfinite(d), d, 0.0)
+
+    def shaping_potential(self, state: EnvState) -> jax.Array:
+        """Training-time shaping potential: -(tool dist to nearest un-wiped
+        target).
+
+        The TRUE reward (reference bed_bathing.py:22) shapes the tool toward
+        the CLOSEST point anywhere on the human, so it saturates on first
+        skin contact and gives no gradient for traversing the arm to reach
+        the remaining wipe targets — wiping only scores on the sparse
+        new-contact event.  Used only via PPOConfig.shaping_coef (annealed,
+        potential-based, Ng et al. 1999) — the env reward itself is
+        untouched.  The value is precomputed in reset/_finish where the
+        target world positions already exist.
+        """
+        return -state.aux["min_target_dist"]
 
     # ------------------------------------------------------------- step
     def step(self, state: EnvState, action: jax.Array):
@@ -304,10 +339,14 @@ class BedBathingTask:
                   + cfg.wiping_reward_weight * new_contact_points
                   + preferences)
 
+        up_alive2 = aux["up_alive"] & ~up_hit
+        fo_alive2 = aux["fo_alive"] & ~fo_hit
         state = state.replace(
             task_success=task_success,
-            aux=dict(aux, up_alive=aux["up_alive"] & ~up_hit,
-                     fo_alive=aux["fo_alive"] & ~fo_hit))
+            aux=dict(aux, up_alive=up_alive2, fo_alive=fo_alive2,
+                     min_target_dist=self._min_target_dist(
+                         fk_h, fk_r, aux["up_local"], aux["fo_local"],
+                         up_alive2, fo_alive2)))
 
         obs = self._get_obs(state, fk_h, fk_r, jnp.atleast_1d(tool_force),
                             jnp.stack([total_force_on_human, pad_force_on_human]))

@@ -250,6 +250,33 @@ def test_drinking_shaping_potential():
     np.testing.assert_allclose(float(phi2[1]), float(phi[1]), rtol=1e-6)
 
 
+def test_bed_shaping_potential():
+    """Bed bathing's tool-to-nearest-unwiped-target potential: nonpositive,
+    finite, batched, consistent with the aux cache across a step, and
+    strictly improved by zeroing the cached distance (wiped-out bound)."""
+    task_b = build_task("bed_bathing", "jaco", False)
+    env_state, _ = jax.vmap(task_b.reset)(
+        jax.random.split(jax.random.PRNGKey(0), 2))
+    phi = jax.vmap(task_b.shaping_potential)(env_state)
+    assert phi.shape == (2,)
+    assert np.all(np.asarray(phi) <= 0.0) and np.all(np.isfinite(phi))
+    # reset places the tool near-but-off the arm: distance in (0, 2) m
+    d0 = -np.asarray(phi)
+    assert np.all(d0 > 0.0) and np.all(d0 < 2.0)
+
+    # a step refreshes the cache through _finish; still valid
+    env_state2, _, _, _, _ = task_b.step_batched(
+        env_state, jnp.zeros((2, task_b.spec.action_len), jnp.float32))
+    phi2 = jax.vmap(task_b.shaping_potential)(env_state2)
+    assert np.all(np.asarray(phi2) <= 0.0) and np.all(np.isfinite(phi2))
+
+    # all targets wiped -> the cached distance is defined as 0 (bounded Phi)
+    aux = dict(env_state2.aux)
+    aux["min_target_dist"] = jnp.zeros_like(aux["min_target_dist"])
+    phi3 = jax.vmap(task_b.shaping_potential)(env_state2.replace(aux=aux))
+    np.testing.assert_allclose(np.asarray(phi3), 0.0)
+
+
 def test_train_step_donation(task, tiny_cfg):
     """Donation correctness (SURVEY §5): (ts, env_state) are donated to the
     jitted train step.  Chained rebinding must thread cleanly; where the
