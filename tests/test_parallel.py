@@ -293,3 +293,23 @@ def test_train_step_donation(task, tiny_cfg):
     if stale.is_deleted():             # backend honored the donation
         with pytest.raises(Exception):
             np.asarray(jax.tree.leaves(ts2)[0])  # ts2 was donated to step 2
+
+
+def test_dryrun_multichip_catches_sharding_divergence(monkeypatch):
+    """__graft_entry__.dryrun_multichip asserts sharded-vs-unsharded metric
+    agreement (VERDICT r4 weak #5).  Prove the assertion actually fires:
+    seed a divergence bug (the mesh path initialised from a different PRNG
+    key — the observable signature of per-shard RNG desync) and the dryrun
+    must raise instead of printing ok."""
+    import __graft_entry__ as graft
+
+    real_init = ppo.init
+
+    def desynced_init(task, cfg, key, mesh=None):
+        if mesh is not None:
+            key = jax.random.fold_in(key, 1)   # the seeded bug
+        return real_init(task, cfg, key, mesh)
+
+    monkeypatch.setattr(ppo, "init", desynced_init)
+    with pytest.raises(AssertionError, match="sharded-vs-unsharded"):
+        graft.dryrun_multichip(8)

@@ -48,6 +48,15 @@ CASES = [
     ("dressing", "jaco", 4096, 10),   # r4: neighbor-table cloth, HBM-bound
     ("arm_manipulation", "jaco", 4096, 30),
     ("arm_manipulation", "pr2", 4096, 20),  # dual-arm R=47: block_b=512 path
+    # non-Jaco coverage (VERDICT r4 missing #3): one row per extra robot on
+    # 2-3 tasks each — first throughput evidence for the wheelchair-task
+    # JLWKI/position_robot_toc reset path and the Sawyer/Baxter models.
+    ("scratch_itch", "pr2", 4096, 20),
+    ("feeding", "pr2", 4096, 20),
+    ("scratch_itch", "sawyer", 4096, 20),
+    ("feeding", "sawyer", 4096, 20),
+    ("scratch_itch", "baxter", 4096, 20),
+    ("bed_bathing", "baxter", 4096, 20),
 ]
 
 
