@@ -30,6 +30,74 @@ def quat_orientation_error(q: jnp.ndarray, q_target: jnp.ndarray) -> jnp.ndarray
     return 2.0 * dq[..., :3]
 
 
+def _chol_unrolled(A: jnp.ndarray):
+    """Cholesky factor of a tiny static-size SPD matrix (m<=6), unrolled to
+    elementwise ops on the batch axes; returns L as a list-of-lists.
+
+    jax.scipy.linalg.solve(assume_a="pos") / jnp.linalg.det on [*,6,6]
+    under the reset vmaps (4096 envs x 40-100 restarts) lower to batched
+    LAPACK-style routines that serialise on TPU — the same pathology round
+    4 measured for the vmapped [4096,40,40] settle solve (~130 ms/factor).
+    Unrolled, the m=6 factor is ~60 mul/div of pure VPU work per lane.
+    Same math as the library Cholesky (fp32), with a 1e-12 pivot floor.
+
+    NOT wired into dls_ik/jlwki_score: the last-ulp rounding differences
+    shift which restart/base candidate wins the reset argmax (measured:
+    the FeedingJaco PRNGKey(0) reset flips to a spoon pose that spills the
+    food — tests/test_tasks.py::test_feeding_food_stays_in_scoop).  Every
+    banked policy was trained against the library-solve reset
+    distribution, so the reset arithmetic is behaviourally pinned.  These
+    kernels are the measured-correct drop-ins (tests/test_math3d.py) for a
+    future round that retrains from scratch."""
+    m = A.shape[-1]
+    L = [[None] * m for _ in range(m)]
+    for j in range(m):
+        s = A[..., j, j]
+        for t in range(j):
+            s = s - L[j][t] * L[j][t]
+        Ljj = jnp.sqrt(jnp.maximum(s, 1e-12))
+        L[j][j] = Ljj
+        inv = 1.0 / Ljj
+        for i in range(j + 1, m):
+            s = A[..., i, j]
+            for t in range(j):
+                s = s - L[i][t] * L[j][t]
+            L[i][j] = s * inv
+    return L
+
+
+def _solve_spd_unrolled(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve A x = b for tiny SPD A via the unrolled Cholesky (see
+    _chol_unrolled).  A = J J^T + lambda^2 I is SPD by construction."""
+    m = A.shape[-1]
+    L = _chol_unrolled(A)
+    y = [None] * m
+    for i in range(m):
+        s = b[..., i]
+        for t in range(i):
+            s = s - L[i][t] * y[t]
+        y[i] = s / L[i][i]
+    x = [None] * m
+    for i in range(m - 1, -1, -1):
+        s = y[i]
+        for t in range(i + 1, m):
+            s = s - L[t][i] * x[t]
+        x[i] = s / L[i][i]
+    return jnp.stack(x, axis=-1)
+
+
+def _det_spd_unrolled(A: jnp.ndarray) -> jnp.ndarray:
+    """det of a tiny SPD matrix = prod(diag(L))^2 (see _chol_unrolled).
+    Replaces jnp.linalg.det's batched LU in the JLWKI hot loop; for
+    singular PSD inputs the 1e-12 pivot floor yields det ~ 0, matching the
+    reference's max(det, 0) clamp (env.py:339-342)."""
+    L = _chol_unrolled(A)
+    d = L[0][0]
+    for j in range(1, A.shape[-1]):
+        d = d * L[j][j]
+    return d * d
+
+
 class IKResult(NamedTuple):
     q: jnp.ndarray          # full dof vector with solved arm values
     pos_err: jnp.ndarray    # final end-effector position error (norm)
