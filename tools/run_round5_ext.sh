@@ -102,6 +102,25 @@ run_eval() {  # run_eval <name> <env> <ckpt-dir> <episodes> [extra...]
     [ $rc -eq 0 ] && mark_stage "$stage"
 }
 
+# 0. Component-ablation timings the verdict asked for (#4 drinking substep
+#    attack evidence, #9 dressing lane saturation) — ~18 min total, banks
+#    the numbers that BASELINE.md paragraphs are written from.
+if ! done_stage "bench:drink_parts"; then
+    timeout 900 python tools/bench_step_parts.py --env DrinkingJaco-v0 \
+        --steps 20 --out docs/bench/step_parts_r5.jsonl 2>/dev/null
+    bank "round 5: bank drinking step component ablation" docs/bench
+    mark_stage "bench:drink_parts"
+fi
+if ! done_stage "bench:dress_parts"; then
+    for ne in 2048 4096 8192; do
+        timeout 700 python tools/bench_step_parts.py --env DressingJaco-v0 \
+            --num-envs $ne --steps 20 --out docs/bench/step_parts_r5.jsonl \
+            2>/dev/null
+    done
+    bank "round 5: bank dressing lane-saturation ablation" docs/bench
+    mark_stage "bench:dress_parts"
+fi
+
 # 1. Scratch — cheapest win: continue in place, lr re-stretched to 1100.
 run_train scratch_r4 25 --env ScratchItchJaco-v0 --updates 1100 --lr-decay \
     --entropy-coef 0.001 --seed 3
