@@ -1,0 +1,153 @@
+"""Scripted pour probe: is DrinkingJaco success ACHIEVABLE in-engine?
+
+Every trained drinking policy so far evals at 0.0% (rounds 2-5) while the
+curve shows a learned approach (return -180 -> -60) that never pours.
+Before blaming exploration, this probe checks the env end-to-end: it
+teleports the robot arm (IK) so the cup top sits at the mouth target,
+then tilts the cup in 10-degree stages while the water simulates
+normally through the 250 Hz substep loop, and reports how many particles
+ever register `in_mouth` (the +10 reward / task_success event,
+reference drinking.py:70-74: escape within 3 cm of the mouth).
+
+If a scripted pour reaches task_success >= 48 (75% of 64,
+config.ini:35), the env semantics are sound and drinking is an
+RL-exploration problem (the tilt cliff: early tipping spills at -1 per
+particle, so policies learn NOT to tilt).  If it cannot, the in_mouth
+window itself is unreachable and the env has a geometry/timing bug.
+
+    JAX_PLATFORMS=cpu python tools/diag_drinking.py --seed 0
+"""
+import argparse
+import json
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from assistive_gym_tpu.registry import load
+from assistive_gym_tpu.envs import base
+from assistive_gym_tpu.envs.drinking import _cup_centers, TOP_OFF, CUP_R, N_WATER
+from assistive_gym_tpu.envs.base import f32
+from assistive_gym_tpu.ops import ik as ik_mod
+from assistive_gym_tpu.ops import math3d as m3
+from assistive_gym_tpu.ops import geometry as geo
+
+
+def axis_quat(axis: str, deg: float) -> jnp.ndarray:
+    ang = math.radians(deg)
+    e = {"x": [ang, 0, 0], "y": [0, ang, 0]}[axis[0]]
+    if axis.endswith("-"):
+        e = [-v for v in e]
+    return m3.quat_from_euler(jnp.asarray(e, f32))
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--axes", nargs="*", default=["x+", "x-", "y+", "y-"])
+    ap.add_argument("--max-tilt", type=float, default=140.0)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    task = load("DrinkingJaco-v0")
+    spec = task.spec
+    reset = jax.jit(task.reset)
+    step = jax.jit(task.step)
+    zero = jnp.zeros(spec.action_robot_len + spec.action_human_len, f32)
+
+    state0, _ = reset(jax.random.PRNGKey(args.seed))
+    mouth = jnp.asarray(state0.aux["target_pos"])
+    robot = spec.robot
+    ee = spec.info.ee_right
+    arm = np.asarray(spec.arm_dofs)
+    rl = jnp.asarray(robot.dof_limits()[0])[arm]
+    ru = jnp.asarray(robot.dof_limits()[1])[arm]
+
+    # constant cup_top offset in the ee frame (tool welded into the tree)
+    _, fk_r0 = base.scene_fk(spec, state0)
+    top0, _ = _cup_centers(spec, fk_r0)
+    ee_p, ee_q = fk_r0.pos[ee], fk_r0.quat[ee]
+    off_ee = m3.quat_rotate(m3.quat_conj(ee_q), top0 - ee_p)   # cup_top in ee
+
+    upright = jnp.asarray(ee_q)  # reset-time (IK'd to euler(0, pi/2, 0))
+
+    def solve(key, q0, target_pos, target_quat):
+        return ik_mod.ik_random_restarts(
+            key, robot, ee, target_pos, target_quat, q0, spec.arm_dofs,
+            state0.robot_base_pos, state0.robot_base_quat, rl, ru,
+            restarts=20, iters=50, pos_threshold=0.02)
+
+    def teleport(state, q_new):
+        """Move the arm to q_new; rigidly carry IN-CUP water with the cup
+        frame; leave escaped particles in place; zero velocities."""
+        _, fk_old = base.scene_fk(spec, state)
+        tip = spec.tool_tip_link
+        p_old, q_old = fk_old.pos[tip], fk_old.quat[tip]
+        top_o, bot_o = _cup_centers(spec, fk_old)
+        in_cup = geo.points_in_cylinder(top_o[None], bot_o[None], CUP_R,
+                                        state.aux["water_pos"])
+        state = state.replace(robot_q=q_new, robot_qd=jnp.zeros_like(q_new))
+        _, fk_new = base.scene_fk(spec, state)
+        p_new, q_new_t = fk_new.pos[tip], fk_new.quat[tip]
+        rel = m3.quat_mul(q_new_t, m3.quat_conj(q_old))
+        wp = state.aux["water_pos"]
+        moved = m3.quat_rotate(rel[None], wp - p_old[None]) + p_new[None]
+        wp = jnp.where(in_cup[:, None], moved, wp)
+        return state.replace(aux=dict(state.aux, water_pos=wp,
+                                      water_vel=jnp.zeros_like(wp)))
+
+    results = []
+    for axis in args.axes:
+        state = state0
+        key = jax.random.PRNGKey(args.seed * 1000 + 17)
+        poured_hist, min_d = [], np.inf
+        ik_errs = []
+        # approach (upright) then tilt stages; cup_top pinned to the mouth
+        stages = [("approach", 0.0, np.array([0.0, 0.0, 0.04])),
+                  ("approach", 0.0, np.array([0.0, 0.0, 0.0]))]
+        stages += [("tilt", d, np.array([0.0, 0.0, 0.0]))
+                   for d in np.arange(10.0, args.max_tilt + 1e-6, 10.0)]
+        for name, deg, off in stages:
+            key, k = jax.random.split(key)
+            q_t = m3.quat_mul(axis_quat(axis, deg), upright)
+            p_t = mouth + jnp.asarray(off, f32) - m3.quat_rotate(q_t, off_ee)
+            res = solve(k, state.robot_q, p_t, q_t)
+            ik_errs.append(float(res.pos_err))
+            state = teleport(state, res.q)
+            for _ in range(2):
+                state, _, _, _, info = step(state, zero)
+            alive = np.asarray(state.aux["water_alive"])
+            wp = np.asarray(state.aux["water_pos"])
+            d = np.linalg.norm(wp - np.asarray(mouth)[None], axis=-1)
+            esc_d = d[alive] if alive.any() else np.array([np.inf])
+            min_d = min(min_d, float(esc_d.min()))
+            poured_hist.append(float(np.asarray(state.task_success)))
+        # settle: let the stream finish
+        for _ in range(10):
+            state, _, _, _, info = step(state, zero)
+        total = float(np.asarray(state.task_success))
+        rec = {"axis": axis, "seed": args.seed,
+               "task_success_count": total,
+               "success": bool(total >= N_WATER * spec.cfg.task_success_threshold),
+               "alive_left": int(np.asarray(state.aux["water_alive"]).sum()),
+               "max_ik_pos_err": round(max(ik_errs), 4),
+               "poured_by_stage": [round(v, 1) for v in poured_hist]}
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+        if args.out:
+            with open(args.out, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+
+    best = max(r["task_success_count"] for r in results)
+    print(json.dumps({"verdict": "ACHIEVABLE" if best >= 48 else
+                      ("PARTIAL" if best > 0 else "UNREACHABLE"),
+                      "best_count": best, "threshold": 48}))
+
+
+if __name__ == "__main__":
+    main()
