@@ -68,13 +68,26 @@ def main():
     rl = jnp.asarray(robot.dof_limits()[0])[arm]
     ru = jnp.asarray(robot.dof_limits()[1])[arm]
 
-    # constant cup_top offset in the ee frame (tool welded into the tree)
+    # constant cup_top offset / tip rotation in the ee frame (welded tool)
     _, fk_r0 = base.scene_fk(spec, state0)
     top0, _ = _cup_centers(spec, fk_r0)
+    tip = spec.tool_tip_link
     ee_p, ee_q = fk_r0.pos[ee], fk_r0.quat[ee]
     off_ee = m3.quat_rotate(m3.quat_conj(ee_q), top0 - ee_p)   # cup_top in ee
+    rel_q = m3.quat_mul(m3.quat_conj(ee_q), fk_r0.quat[tip])   # tip in ee
 
     upright = jnp.asarray(ee_q)  # reset-time (IK'd to euler(0, pi/2, 0))
+
+    def rim_exit_dir(q_ee):
+        """Downhill direction of the cup's top-rim circle in world: where a
+        tilted cup's water escapes.  Cup axis (top->bottom) = +z of the tip
+        frame (TOP_OFF z=-0.055, BOTTOM_OFF z=+0.07)."""
+        q_tip = m3.quat_mul(q_ee, rel_q)
+        a = m3.quat_rotate(q_tip, jnp.asarray([0.0, 0.0, 1.0], f32))
+        g = jnp.asarray([0.0, 0.0, -1.0], f32)
+        d = g - jnp.dot(g, a) * a
+        n = jnp.linalg.norm(d)
+        return jnp.where(n > 1e-3, d / jnp.maximum(n, 1e-9), jnp.zeros(3, f32))
 
     def solve(key, q0, target_pos, target_quat):
         return ik_mod.ik_random_restarts(
@@ -107,15 +120,22 @@ def main():
         key = jax.random.PRNGKey(args.seed * 1000 + 17)
         poured_hist, min_d = [], np.inf
         ik_errs = []
-        # approach (upright) then tilt stages; cup_top pinned to the mouth
-        stages = [("approach", 0.0, np.array([0.0, 0.0, 0.04])),
-                  ("approach", 0.0, np.array([0.0, 0.0, 0.0]))]
-        stages += [("tilt", d, np.array([0.0, 0.0, 0.0]))
+        # approach (upright above the mouth), then tilt stages.  The cup top
+        # is NOT pinned to the mouth point: particles escape at the rim,
+        # CUP_R from the top centre — already outside the 3 cm in_mouth
+        # shell if the top centre sits at the mouth.  Instead, aim the
+        # DOWNHILL rim point (the stream origin) 1.5 cm above the mouth.
+        stages = [("approach", 0.0), ("approach", 0.0)]
+        stages += [("tilt", d)
                    for d in np.arange(10.0, args.max_tilt + 1e-6, 10.0)]
-        for name, deg, off in stages:
+        r_eff = CUP_R - 0.008
+        for name, deg in stages:
             key, k = jax.random.split(key)
             q_t = m3.quat_mul(axis_quat(axis, deg), upright)
-            p_t = mouth + jnp.asarray(off, f32) - m3.quat_rotate(q_t, off_ee)
+            d_rim = rim_exit_dir(q_t)
+            top_t = (mouth - r_eff * d_rim
+                     + jnp.asarray([0.0, 0.0, 0.015 if deg else 0.05], f32))
+            p_t = top_t - m3.quat_rotate(q_t, off_ee)
             res = solve(k, state.robot_q, p_t, q_t)
             ik_errs.append(float(res.pos_err))
             state = teleport(state, res.q)
@@ -135,6 +155,7 @@ def main():
                "task_success_count": total,
                "success": bool(total >= N_WATER * spec.cfg.task_success_threshold),
                "alive_left": int(np.asarray(state.aux["water_alive"]).sum()),
+               "min_alive_dist_to_mouth": round(min_d, 4),
                "max_ik_pos_err": round(max(ik_errs), 4),
                "poured_by_stage": [round(v, 1) for v in poured_hist]}
         results.append(rec)
