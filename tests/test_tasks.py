@@ -63,6 +63,39 @@ def test_drinking_water_contained():
     assert int(np.asarray(s.aux["water_alive"]).sum()) == 64
 
 
+def test_drinking_mouth_window_scores():
+    """The in_mouth scoring path (drinking.py:70-74 parity: escaped water
+    within 3 cm of the mouth at the 10 Hz check) must actually fire.
+    Bypasses arm control: free particles released just above the mouth
+    target must register task_success within a few control steps.  Guards
+    the escape->in_mouth->task_success pipeline end to end (round-5
+    drinking diagnosis, docs/training/drinking_diagnosis_r5.md)."""
+    task = build_task("drinking", "jaco", False)
+    state, _ = jax.jit(task.reset)(jax.random.PRNGKey(0))
+    mouth = np.asarray(state.aux["target_pos"])
+    n = np.asarray(state.aux["water_pos"]).shape[0]
+    rng = np.random.default_rng(0)
+    pos = mouth[None] + np.array([0.0, 0.0, 0.02]) \
+        + rng.uniform(-0.004, 0.004, size=(n, 3))
+    state = state.replace(aux=dict(
+        state.aux,
+        water_pos=jnp.asarray(pos, jnp.float32),
+        water_vel=jnp.zeros((n, 3), jnp.float32)))
+    step = jax.jit(task.step)
+    s = state
+    for _ in range(3):
+        s, *_ = step(s, jnp.zeros(7))
+    scored = float(np.asarray(s.task_success))
+    # Measured capture physics (drinking_diagnosis_r5.md): a free-falling
+    # particle spends ~30 ms inside the 3 cm window but the reward check
+    # runs at 10 Hz, so even a perfect release over the mouth captures
+    # ~12% per batch (8/64 measured).  The assertion guards that the
+    # pipeline FIRES — a regression to 0 means escape/in_mouth/task_success
+    # wiring broke — not that a free drop solves the task.
+    assert scored >= 4.0, \
+        f"only {scored}/{n} particles scored in_mouth from 2 cm above the mouth"
+
+
 def test_bed_bathing_human_on_bed():
     from assistive_gym_tpu.envs import base
     task = build_task("bed_bathing", "jaco", False)

@@ -89,7 +89,10 @@ def main():
         n = jnp.linalg.norm(d)
         return jnp.where(n > 1e-3, d / jnp.maximum(n, 1e-9), jnp.zeros(3, f32))
 
+    @jax.jit
     def solve(key, q0, target_pos, target_quat):
+        # jitted once: the unjitted call re-traces the 20x50 DLS solve per
+        # stage (~minutes each on CPU); jitted, stages run in seconds
         return ik_mod.ik_random_restarts(
             key, robot, ee, target_pos, target_quat, q0, spec.arm_dofs,
             state0.robot_base_pos, state0.robot_base_quat, rl, ru,
@@ -102,7 +105,10 @@ def main():
         tip = spec.tool_tip_link
         p_old, q_old = fk_old.pos[tip], fk_old.quat[tip]
         top_o, bot_o = _cup_centers(spec, fk_old)
-        in_cup = geo.points_in_cylinder(top_o[None], bot_o[None], CUP_R,
+        # conservative margin: a particle carried to just outside the wall
+        # would instantly count as escaped next to the face and die as
+        # hit-human — carry only comfortably-inside particles
+        in_cup = geo.points_in_cylinder(top_o[None], bot_o[None], CUP_R - 0.002,
                                         state.aux["water_pos"])
         state = state.replace(robot_q=q_new, robot_qd=jnp.zeros_like(q_new))
         _, fk_new = base.scene_fk(spec, state)
@@ -138,20 +144,59 @@ def main():
             p_t = top_t - m3.quat_rotate(q_t, off_ee)
             res = solve(k, state.robot_q, p_t, q_t)
             ik_errs.append(float(res.pos_err))
-            state = teleport(state, res.q)
-            for _ in range(2):
-                state, _, _, _, info = step(state, zero)
+            # ACTION-driven (no teleports): PD-drive the arm toward the
+            # stage's IK solution exactly the way a policy would — the
+            # teleport-carry variant of this probe ejected rim particles at
+            # 10 degrees (a carry artifact, not pouring).  Actions integrate
+            # targets by 1.25 rad/step max (base._prepare_targets), so a
+            # handful of steps per stage tracks the waypoint.
+            # drinking's PD is soft (robot_gains 5e-4, config.ini parity):
+            # step until the arm actually tracks the waypoint, like a policy
+            # spending a chunk of its 200-step episode on the motion
+            q_goal = np.asarray(res.q[arm])
+            for _ in range(60 if name == "approach" else 30):
+                q_cur = np.asarray(state.robot_q)[arm]
+                if np.abs(q_goal - q_cur).max() < 0.03:
+                    break
+                a_arm = np.clip((q_goal - q_cur) / 1.25, -1.0, 1.0)
+                act = zero.at[:len(arm)].set(jnp.asarray(a_arm, f32))
+                state, _, _, _, info = step(state, act)
+            # FK-actual stream origin vs where we aimed it (validates the
+            # rim-aim math end-to-end through IK + the welded tool chain)
+            _, fk_now = base.scene_fk(spec, state)
+            top_now, _ = _cup_centers(spec, fk_now)
+            d_now = rim_exit_dir(fk_now.quat[ee])
+            stream = np.asarray(top_now + r_eff * d_now)
+            aim_err = float(np.linalg.norm(
+                stream - np.asarray(mouth + jnp.asarray(
+                    [0.0, 0.0, 0.015 if deg else 0.05], f32))))
             alive = np.asarray(state.aux["water_alive"])
             wp = np.asarray(state.aux["water_pos"])
             d = np.linalg.norm(wp - np.asarray(mouth)[None], axis=-1)
-            esc_d = d[alive] if alive.any() else np.array([np.inf])
-            min_d = min(min_d, float(esc_d.min()))
+            min_d = min(min_d, float(d.min()))   # incl. frozen dead particles
             poured_hist.append(float(np.asarray(state.task_success)))
+            print(json.dumps({"stage": name, "deg": deg,
+                              "aim_err": round(aim_err, 4),
+                              "ik_err": round(float(res.pos_err), 4),
+                              "alive": int(alive.sum()),
+                              "poured": float(np.asarray(state.task_success)),
+                              "min_d_any": round(float(d.min()), 4)}),
+                  flush=True)
         # settle: let the stream finish
         for _ in range(10):
             state, _, _, _, info = step(state, zero)
         total = float(np.asarray(state.task_success))
+        # death-cause breakdown: dead particles freeze at their death pos
+        alive = np.asarray(state.aux["water_alive"])
+        wp = np.asarray(state.aux["water_pos"])
+        dm = np.linalg.norm(wp - np.asarray(mouth)[None], axis=-1)
+        dead = ~alive
+        died_mouth = int(((dm < 0.035) & dead).sum())
+        died_floor = int(((wp[:, 2] < 0.52) & dead & (dm >= 0.035)).sum())
+        died_hit = int(dead.sum() - died_mouth - died_floor)
         rec = {"axis": axis, "seed": args.seed,
+               "died_near_mouth": died_mouth, "died_floor": died_floor,
+               "died_hit_human": died_hit,
                "task_success_count": total,
                "success": bool(total >= N_WATER * spec.cfg.task_success_threshold),
                "alive_left": int(np.asarray(state.aux["water_alive"]).sum()),
