@@ -262,6 +262,14 @@ class DrinkingTask:
                 water_pos=jnp.zeros((N_WATER, 3), f32),
                 water_vel=jnp.zeros((N_WATER, 3), f32),
                 water_alive=jnp.ones(N_WATER, bool),
+                # train-time curriculum state; 0.03 = reference parity
+                # (drinking.py:74 in_mouth shell).  eval/step never change it;
+                # only PPO's curriculum hook (ppo.py) widens it during training.
+                mouth_r=jnp.asarray(0.03, f32),
+                # cup pose cache for the shaping potential (written by
+                # _finish each control step; seeded from reset FK below)
+                cup_top=jnp.zeros(3, f32),
+                tilt_err=jnp.zeros((), f32),
             ),
         )
         p0, p1, rad = base.scene_geom_state(spec, hp)
@@ -284,6 +292,10 @@ class DrinkingTask:
         def settle(i, aux):
             return _water_substep(spec, state, aux, fk_h2, fk_r2, 0.004)
         aux = jax.lax.fori_loop(0, 150, settle, aux)
+        cup_euler0 = m3.quat_to_euler(fk_r2.quat[spec.tool_tip_link])
+        sign0 = math.pi / 2 if spec.robot_name == "jaco" else -math.pi / 2
+        aux = dict(aux, cup_top=top,
+                   tilt_err=jnp.abs(cup_euler0[0] + sign0))
         state = state.replace(aux=aux)
 
         obs = self._get_obs(state, fk_h2, fk_r2, jnp.zeros(1, f32), jnp.zeros(2, f32))
@@ -296,24 +308,52 @@ class DrinkingTask:
         return self._finish(state, action, contacts, fk_h, fk_r, vel_h, vel_r)
 
     def shaping_potential(self, state: EnvState) -> jax.Array:
-        """Training-time shaping potential: -(mean ||alive water - mouth||).
+        """Training-time shaping potential: tilt-gated pour shaping.
 
-        The TRUE reward (reference drinking.py:26-27,70-74) already shapes
-        cup-top distance and tilt, but gives no gradient toward POURING —
-        water only scores once a particle escapes within 3 cm of the mouth,
-        so a policy that parks the cup near the face has no signal to tip it
-        the right way.  The water-to-mouth potential rewards any tilt that
-        moves the stream toward the mouth.  Used only via
+        The TRUE reward (reference drinking.py:26-27,70-74) shapes cup-top
+        distance and penalizes tilt away from upright, but gives no gradient
+        toward POURING — water only scores once a particle escapes within
+        the mouth shell, so gradient ascent learns *not* to tilt and parks
+        the cup (docs/training/drinking_diagnosis_r5.md §2-3).  The round-5
+        water-to-mouth potential was collinear with the cup-distance term
+        while water sat in the cup (ibid §3); this version pays for the
+        missing ACTION directly:
+
+          phi = -0.3 * mean ||alive water - mouth||          (post-escape pull)
+                + 0.5 * gate(d_cup_mouth) * min(tilt_err, 2.2)/2.2
+
+        where gate = sigmoid((0.10 - d)/0.02): tilt is rewarded only once
+        the cup is within ~10 cm of the mouth, so far-field behaviour keeps
+        the true reward's upright optimum.  Cup pose comes from the
+        aux cache written by _finish (no extra FK).  Used only via
         PPOConfig.shaping_coef (annealed, potential-based, Ng et al. 1999) —
-        the env reward itself is untouched.  The mouth anchor is the
-        reset-time aux["target_pos"]; head motion during the episode is cm
-        scale, irrelevant for a shaping gradient.
+        the env reward itself is untouched.
         """
-        pos = state.aux["water_pos"]
-        alive = state.aux["water_alive"]
-        d = jnp.linalg.norm(pos - state.aux["target_pos"][None], axis=-1)
-        return -(jnp.sum(jnp.where(alive, d, 0.0))
-                 / jnp.maximum(jnp.sum(alive), 1))
+        aux = state.aux
+        pos, alive = aux["water_pos"], aux["water_alive"]
+        d_w = jnp.linalg.norm(pos - aux["target_pos"][None], axis=-1)
+        water_pull = -(jnp.sum(jnp.where(alive, d_w, 0.0))
+                       / jnp.maximum(jnp.sum(alive), 1))
+        d_cup = jnp.linalg.norm(aux["cup_top"] - aux["target_pos"])
+        gate = jax.nn.sigmoid((0.10 - d_cup) / 0.02)
+        tilt = jnp.minimum(aux["tilt_err"], 2.2) / 2.2
+        return 0.3 * water_pull + 0.5 * gate * tilt
+
+    def curriculum(self, state: EnvState, c: jax.Array) -> EnvState:
+        """Train-time curriculum: widen the in_mouth capture shell.
+
+        c=1 -> 10 cm shell, c=0 -> the 3 cm reference-parity shell
+        (drinking.py:74).  At the parity radius a particle falling past the
+        mouth spends ~30 ms inside the shell between 10 Hz reward checks
+        (~12% capture from a perfect release — diagnosis §4b), so early
+        training never sees a positive water event; the wide shell breaks
+        the -1-per-spill cliff, then anneals the policy onto the metering
+        behaviour the true task demands.  Called only by PPO between reset
+        and rollout (ppo.py curriculum hook); eval uses reset's 0.03.
+        """
+        r = 0.03 + 0.07 * jnp.clip(c, 0.0, 1.0)
+        return state.replace(aux=dict(
+            state.aux, mouth_r=jnp.full_like(state.aux["mouth_r"], r)))
 
     def step_batched(self, states: EnvState, actions: jax.Array):
         """Batched step: fused Pallas dynamics (base.take_step_batched) +
@@ -340,7 +380,9 @@ class DrinkingTask:
         in_cup = geo.points_in_cylinder(top[None], bottom[None], CUP_R, pos)
         escaped = alive & ~in_cup
         d_mouth = jnp.linalg.norm(pos - target_pos[None], axis=-1)
-        in_mouth = escaped & (d_mouth < 0.03)
+        # aux["mouth_r"] is 0.03 (reference drinking.py:74 parity) except
+        # during curriculum training, where PPO widens it (see curriculum())
+        in_mouth = escaped & (d_mouth < aux["mouth_r"])
         spilled = escaped & ~in_mouth & (pos[:, 2] < 0.5)
         a_seg, b_seg, r_seg = _human_segments(spec, state, fk_h)
         hit_h = part.touches_segments(
@@ -379,7 +421,8 @@ class DrinkingTask:
 
         state = state.replace(
             task_success=task_success,
-            aux=dict(aux, water_alive=alive, target_pos=target_pos))
+            aux=dict(aux, water_alive=alive, target_pos=target_pos,
+                     cup_top=cup_top, tilt_err=-reward_tilt))
 
         obs = self._get_obs(state, fk_h, fk_r,
                             jnp.atleast_1d(cup_force_on_human),

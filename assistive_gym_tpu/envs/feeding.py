@@ -279,6 +279,10 @@ class FeedingTask:
                 food_alive=jnp.ones(N_FOOD, bool),
                 food_hit=jnp.zeros(N_FOOD, bool),
                 scoop_up_local=jnp.asarray([0.0, 0.0, 1.0], f32),
+                # train-time curriculum state; 0.02 = reference parity
+                # (feeding.py:58 in_mouth shell); only PPO's curriculum hook
+                # widens it during training (see curriculum())
+                mouth_r=jnp.asarray(0.02, f32),
             ),
         )
         p0, p1, rad = base.scene_geom_state(spec, hp)
@@ -332,6 +336,23 @@ class FeedingTask:
         """
         return -jnp.linalg.norm(state.aux["tip_pos"] - state.aux["target_pos"])
 
+    def curriculum(self, state: EnvState, c: jax.Array) -> EnvState:
+        """Train-time curriculum: widen the in_mouth delivery shell.
+
+        c=1 -> 6 cm shell, c=0 -> the 2 cm reference-parity shell
+        (feeding.py:58).  The round-3 diagnosis
+        (docs/training/feeding_diagnosis_r3.md) measured all-or-nothing
+        bimodality over reset conditions: failed episodes close to ~9 cm
+        and collect ZERO food-reward gradient, so the policy never learns
+        the hard quarter of the reset distribution.  The wide early shell
+        pays partial deliveries on near-miss episodes, then anneals back to
+        the parity radius.  Called only by PPO between reset and rollout
+        (ppo.py curriculum hook); eval uses reset's 0.02.
+        """
+        r = 0.02 + 0.04 * jnp.clip(c, 0.0, 1.0)
+        return state.replace(aux=dict(
+            state.aux, mouth_r=jnp.full_like(state.aux["mouth_r"], r)))
+
     def step_batched(self, states: EnvState, actions: jax.Array):
         """Batched step: fused Pallas dynamics (base.take_step_batched) +
         vmapped reward/obs logic.  Semantically equals jax.vmap(self.step)."""
@@ -355,7 +376,9 @@ class FeedingTask:
         pos, vel, alive, hit = (aux["food_pos"], aux["food_vel"],
                                 aux["food_alive"], aux["food_hit"])
         d_mouth = jnp.linalg.norm(pos - target_pos[None], axis=-1)
-        in_mouth = alive & (d_mouth < 0.02)
+        # aux["mouth_r"] is 0.02 (reference feeding.py:58 parity) except
+        # during curriculum training, where PPO widens it (see curriculum())
+        in_mouth = alive & (d_mouth < aux["mouth_r"])
         on_table = alive & ~in_mouth & (
             (pos[:, 2] < 0.5)
             | ((jnp.abs(pos[:, 0] - TABLE_TOP_CENTER[0]) < TABLE_TOP_HALF[0])

@@ -204,6 +204,11 @@ def make_train_step(task, cfg: PPOConfig, mesh: Mesh = None):
         ts = ts.replace(key=key_next)
         keys = jax.random.split(k_reset, cfg.num_envs)
         env_state, obs0 = jax.vmap(task.reset)(keys)
+        # training-time task curriculum (same contract as ppo.py)
+        if cfg.curriculum_decay_updates > 0 and hasattr(task, "curriculum"):
+            c = jnp.maximum(1.0 - ts.robot.update_i.astype(jnp.float32)
+                            / cfg.curriculum_decay_updates, 0.0)
+            env_state = jax.vmap(lambda s: task.curriculum(s, c))(env_state)
         env_state, last_obs, traj = rollout(ts, env_state, obs0, k_roll)
         nlast = ts.obs_rms.normalize(last_obs) if cfg.normalize_obs else last_obs
         _, _, lv_r = policy_out(net_r, ts.robot.params, nlast[:, or0:or1])

@@ -57,6 +57,13 @@ class PPOConfig:
     # signal changes — env semantics / reward parity are untouched.
     shaping_coef: float = 0.0
     shaping_decay_updates: int = 0
+    # training-time task curriculum: when > 0 and the task exposes
+    # curriculum(state, c), apply it after every reset with
+    # c = max(1 - update_i / curriculum_decay_updates, 0) — tasks use c to
+    # relax a knife-edge success criterion early (e.g. drinking's in_mouth
+    # shell) and anneal back to reference parity.  Evaluation always runs
+    # the task's parity semantics (reset leaves the curriculum at c=0).
+    curriculum_decay_updates: int = 0
 
     def make_tx(self):
         if self.total_updates > 0:
@@ -328,6 +335,10 @@ def make_train_step(task, cfg: PPOConfig, mesh: Mesh = None):
         ts = ts.replace(key=key_next)
         keys = jax.random.split(k_reset, cfg.num_envs)
         env_state, obs0 = jax.vmap(task.reset)(keys)
+        if cfg.curriculum_decay_updates > 0 and hasattr(task, "curriculum"):
+            c = jnp.maximum(1.0 - ts.update_i.astype(jnp.float32)
+                            / cfg.curriculum_decay_updates, 0.0)
+            env_state = jax.vmap(lambda s: task.curriculum(s, c))(env_state)
         env_state, last_obs, traj = rollout(ts, env_state, obs0, k_roll)
         _, _, last_value = jax.vmap(
             lambda o: net.apply(ts.params, o))(norm_obs(ts, last_obs))

@@ -67,6 +67,32 @@ def _quat_rotate(q, v):
     return _add(v, _add(_scale(q[3], t), _cross(qv, t)))
 
 
+def _onehot(idx, n):
+    """Static one-hot selection matrix [len(idx), n] (f32)."""
+    idx = np.asarray(idx, np.int64)
+    m = np.zeros((len(idx), n), np.float32)
+    m[np.arange(len(idx)), idx] = 1.0
+    return jnp.asarray(m)
+
+
+def _mm(M, x):
+    """Exact f32 selection/accumulation matmul: [R, N] @ [N, B] -> [R, B].
+
+    Gathers (x[idx]) and scatter-adds (zeros.at[idx].add(x)) over the static
+    pair table lower to TPU gather/scatter ops that process the pair rows
+    serially — the round-5 drinking ablation measured the 25-substep contact
+    narrowphase at 69% of the whole step (step_parts_r5.jsonl).  A static
+    one-hot matmul does the same data movement on the MXU in one pass.
+    HIGHEST precision keeps selection exact (1.0 * x with the bf16x-pass
+    f32 emulation reconstructs x bit-for-bit; accumulation is f32)."""
+    return jax.lax.dot(M, x, precision=jax.lax.Precision.HIGHEST)
+
+
+def _mm3(M, comps):
+    """_mm applied to a list of [N, B] components."""
+    return [_mm(M, c) for c in comps]
+
+
 class ContactB(NamedTuple):
     fn: jnp.ndarray           # [P, B]
     dist: jnp.ndarray         # [P, B]
@@ -106,8 +132,9 @@ def evaluate_batched(
     # ---- world geoms ----
     gl = np.maximum(gs.link, 0)
     is_world = (gs.link < 0)
-    lp = _c3(link_pos[gl])
-    lq = [link_quat[gl][:, c] for c in range(4)]
+    Mgl = _onehot(gl, L)
+    lp = _mm3(Mgl, _c3(link_pos))
+    lq = [_mm(Mgl, link_quat[:, c]) for c in range(4)]
     if is_world.any():
         wmask = jnp.asarray(is_world, f32)[:, None]
         lp = [c * (1.0 - wmask) for c in lp]
@@ -123,14 +150,16 @@ def evaluate_batched(
     else:
         w1 = p1w
 
-    # ---- pair gathers ----
+    # ---- pair gathers (static one-hot matmuls, see _mm) ----
     ia, ib = pt.a, pt.b
-    a0 = [c[ia] for c in w0]
-    a1 = [c[ia] for c in w1]
-    ra = radius[ia]
-    b0 = [c[ib] for c in w0]
-    b1 = [c[ib] for c in w1]
-    rb = radius[ib]
+    G = len(gs.link)
+    Ma, Mb = _onehot(ia, G), _onehot(ib, G)
+    a0 = _mm3(Ma, w0)
+    a1 = _mm3(Ma, w1)
+    ra = _mm(Ma, radius)
+    b0 = _mm3(Mb, w0)
+    b1 = _mm3(Mb, w1)
+    rb = _mm(Mb, radius)
 
     # ---- narrow phase: one contiguous pair slice per kind ----
     # the table is kind-sorted (contact.PairTable.build), so each
@@ -257,19 +286,20 @@ def evaluate_batched(
     # ---- contact velocities + penalty force (contact_force parity) ----
     la = np.maximum(gs.link[pt.a], 0)
     lb = np.maximum(gs.link[pt.b], 0)
+    Mla, Mlb = _onehot(la, L), _onehot(lb, L)
     aw = jnp.asarray(gs.link[pt.a] < 0, f32)[:, None]   # [P,1] vs [P,B]
     bw = jnp.asarray(gs.link[pt.b] < 0, f32)[:, None]
 
-    def vel_at(lidx, wmask, pts):
+    def vel_at(Ml, wmask, pts):
         if link_v is None:
             return [jnp.zeros_like(pts[0])] * 3
-        v = _c3(link_v[lidx])
-        w = _c3(link_w[lidx])
-        arm = _sub(pts, _c3(link_pos[lidx]))
+        v = _mm3(Ml, _c3(link_v))
+        w = _mm3(Ml, _c3(link_w))
+        arm = _sub(pts, _mm3(Ml, _c3(link_pos)))
         vv = _add(v, _cross(w, arm))
         return [c * (1.0 - wmask) for c in vv]
 
-    rel_vel = _sub(vel_at(la, aw, point), vel_at(lb, bw, point))
+    rel_vel = _sub(vel_at(Mla, aw, point), vel_at(Mlb, bw, point))
 
     stiff = jnp.asarray(pt.stiffness)[:, None]
     damp = jnp.asarray(pt.damping)[:, None]
@@ -286,14 +316,15 @@ def evaluate_batched(
     force = _add(_scale(fn, normal),
                  _scale(-f_t_mag * inv_vt * in_contact, v_t))
 
-    # ---- per-link wrench accumulation ----
+    # ---- per-link wrench accumulation (transposed one-hot matmuls) ----
     fa = [c * (1.0 - aw) for c in force]
     fb = [-c * (1.0 - bw) for c in force]
-    ta = _cross(_sub(point, _c3(link_pos[la])), fa)
-    tb = _cross(_sub(point, _c3(link_pos[lb])), fb)
-    lf = (jnp.zeros((L, 3, B), f32).at[la].add(_s3(fa)).at[lb].add(_s3(fb)))
-    lt = (jnp.zeros((L, 3, B), f32).at[la].add(_s3(ta)).at[lb].add(_s3(tb)))
-    group_fn = jnp.zeros((pt.ngroups, B), f32).at[pt.group].add(fn)
+    ta = _cross(_sub(point, _mm3(Mla, _c3(link_pos))), fa)
+    tb = _cross(_sub(point, _mm3(Mlb, _c3(link_pos))), fb)
+    MlaT, MlbT = Mla.T, Mlb.T                       # [L, P] scatter-add
+    lf = _s3(_add(_mm3(MlaT, fa), _mm3(MlbT, fb)))
+    lt = _s3(_add(_mm3(MlaT, ta), _mm3(MlbT, tb)))
+    group_fn = _mm(_onehot(pt.group, pt.ngroups).T, fn)
     return ContactB(fn, dist, _s3(point), lf, lt, group_fn,
                     _s3(w0), _s3(w1))
 

@@ -277,6 +277,23 @@ def test_bed_shaping_potential():
     np.testing.assert_allclose(np.asarray(phi3), 0.0)
 
 
+def test_curriculum_hook_applies_and_anneals():
+    """PPOConfig.curriculum_decay_updates drives task.curriculum(state, c)
+    between reset and rollout: at update 0 the widened shell must be live
+    inside the rollout, and past the decay horizon the task must run at
+    reference parity (c=0)."""
+    task_d = build_task("drinking", "jaco", False)
+    cfg = ppo.PPOConfig(num_envs=4, rollout_len=2, num_minibatches=2,
+                        num_epochs=1, curriculum_decay_updates=10)
+    ts, es = ppo.init(task_d, cfg, jax.random.PRNGKey(0), None)
+    step = ppo.make_train_step(task_d, cfg, None)
+    ts, es, _ = step(ts, es)
+    np.testing.assert_allclose(np.asarray(es.aux["mouth_r"]), 0.10, atol=1e-6)
+    ts = ts.replace(update_i=jnp.asarray(50, jnp.int32))   # past the horizon
+    ts, es, _ = step(ts, es)
+    np.testing.assert_allclose(np.asarray(es.aux["mouth_r"]), 0.03, atol=1e-6)
+
+
 def test_train_step_donation(task, tiny_cfg):
     """Donation correctness (SURVEY §5): (ts, env_state) are donated to the
     jitted train step.  Chained rebinding must thread cleanly; where the

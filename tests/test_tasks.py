@@ -96,6 +96,98 @@ def test_drinking_mouth_window_scores():
         f"only {scored}/{n} particles scored in_mouth from 2 cm above the mouth"
 
 
+def test_drinking_curriculum_widens_capture():
+    """curriculum(state, c) widens the in_mouth shell for training only:
+    c=0 must be an exact no-op (mouth_r stays at the 0.03 reference-parity
+    value, reward trace bitwise-identical to a plain reset), c=1 must give
+    the 10 cm shell and capture strictly more of the same free release
+    (docs/training/drinking_diagnosis_r5.md levers (b))."""
+    task = build_task("drinking", "jaco", False)
+    state, _ = jax.jit(task.reset)(jax.random.PRNGKey(0))
+    assert abs(float(state.aux["mouth_r"]) - 0.03) < 1e-7
+
+    s_par = task.curriculum(state, jnp.asarray(0.0))
+    assert abs(float(s_par.aux["mouth_r"]) - 0.03) < 1e-7
+    s_wide = task.curriculum(state, jnp.asarray(1.0))
+    assert abs(float(s_wide.aux["mouth_r"]) - 0.10) < 1e-7
+
+    # identical free release above the mouth through both shells
+    mouth = np.asarray(state.aux["target_pos"])
+    n = np.asarray(state.aux["water_pos"]).shape[0]
+    rng = np.random.default_rng(0)
+    pos = mouth[None] + np.array([0.0, 0.0, 0.02]) \
+        + rng.uniform(-0.004, 0.004, size=(n, 3))
+    step = jax.jit(task.step)
+
+    def run(s0):
+        s = s0.replace(aux=dict(
+            s0.aux,
+            water_pos=jnp.asarray(pos, jnp.float32),
+            water_vel=jnp.zeros((n, 3), jnp.float32)))
+        rews = []
+        for _ in range(3):
+            s, _, r, *_ = step(s, jnp.zeros(7))
+        return float(np.asarray(s.task_success))
+
+    scored_par, scored_c0 = run(state), run(s_par)
+    scored_wide = run(s_wide)
+    assert scored_c0 == scored_par          # c=0 is parity, bit for bit
+    assert scored_wide > scored_par, \
+        f"10 cm shell captured {scored_wide} <= parity {scored_par}"
+
+
+def test_drinking_shaping_tilt_gate():
+    """shaping_potential pays for tilt only near the mouth: moving the
+    cached cup pose inside the 10 cm gate with a large tilt error must
+    raise phi; the same tilt far from the mouth must not."""
+    task = build_task("drinking", "jaco", False)
+    state, _ = jax.jit(task.reset)(jax.random.PRNGKey(0))
+    mouth = state.aux["target_pos"]
+
+    def phi(cup_top, tilt):
+        s = state.replace(aux=dict(
+            state.aux, cup_top=cup_top, tilt_err=jnp.asarray(tilt, jnp.float32)))
+        return float(task.shaping_potential(s))
+
+    near = mouth + jnp.asarray([0.0, 0.0, 0.02], jnp.float32)
+    far = mouth + jnp.asarray([0.0, 0.0, 0.50], jnp.float32)
+    assert phi(near, 2.0) - phi(near, 0.0) > 0.3      # gated tilt pays
+    assert abs(phi(far, 2.0) - phi(far, 0.0)) < 0.01  # far tilt doesn't
+
+
+def test_feeding_curriculum_widens_delivery():
+    """Feeding curriculum: c=0 keeps the 2 cm reference-parity shell
+    (feeding.py:58), c=1 widens to 6 cm so a 4 cm near-miss delivers during
+    early training only (docs/training/feeding_diagnosis_r3.md bimodality)."""
+    task = build_task("feeding", "jaco", False)
+    state, _ = jax.jit(task.reset)(jax.random.PRNGKey(0))
+    assert abs(float(state.aux["mouth_r"]) - 0.02) < 1e-7
+    assert abs(float(task.curriculum(state, jnp.asarray(0.0)).aux["mouth_r"])
+               - 0.02) < 1e-7
+    s_wide = task.curriculum(state, jnp.asarray(1.0))
+    assert abs(float(s_wide.aux["mouth_r"]) - 0.06) < 1e-7
+
+    # one food particle released beside the mouth: after the control step's
+    # ~5 cm free fall it sits ~5 cm away — outside the 2 cm parity shell,
+    # inside the 6 cm curriculum shell
+    mouth = np.asarray(state.aux["target_pos"])
+    n = np.asarray(state.aux["food_pos"]).shape[0]
+    pos = np.tile(mouth + np.array([0.0, 0.0, 0.5]), (n, 1))
+    pos[0] = mouth + np.array([0.05, 0.0, 0.05])
+    step = jax.jit(task.step)
+
+    def delivered(s0):
+        s = s0.replace(aux=dict(
+            s0.aux,
+            food_pos=jnp.asarray(pos, jnp.float32),
+            food_vel=jnp.zeros((n, 3), jnp.float32)))
+        s, *_ = step(s, jnp.zeros(7))
+        return float(np.asarray(s.task_success))
+
+    assert delivered(state) == 0.0          # parity: 4 cm is a miss
+    assert delivered(s_wide) >= 1.0         # curriculum: 4 cm delivers
+
+
 def test_bed_bathing_human_on_bed():
     from assistive_gym_tpu.envs import base
     task = build_task("bed_bathing", "jaco", False)

@@ -85,18 +85,34 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
                     help="halve batch and steps (shorter chip occupancy)")
+    ap.add_argument("--tasks", nargs="*", default=None, metavar="TASK/ROBOT",
+                    help="subset filter, e.g. --tasks drinking/jaco "
+                         "feeding/jaco (default: all)")
+    ap.add_argument("--out", default=None,
+                    help="also append the JSON lines to this file")
     args = ap.parse_args()
+    outf = open(args.out, "a") if args.out else None
+
+    def emit(obj):
+        line = json.dumps(obj)
+        print(line, flush=True)
+        if outf:
+            outf.write(line + "\n")
+            outf.flush()
+
     _guard_device_init()
-    for task_name, robot, batch, steps in CASES:
+    cases = [c for c in CASES
+             if args.tasks is None or f"{c[0]}/{c[1]}" in args.tasks]
+    for task_name, robot, batch, steps in cases:
         if args.quick:
             batch, steps = batch // 2, max(steps // 2, 5)
         try:
             sps = bench_one(task_name, robot, batch, steps)
-            print(json.dumps({"env": f"{task_name}/{robot}", "envs": batch,
-                              "steps_per_s": round(sps, 1)}), flush=True)
+            emit({"env": f"{task_name}/{robot}", "envs": batch,
+                  "steps_per_s": round(sps, 1)})
         except Exception as e:  # keep the table going past one bad case
-            print(json.dumps({"env": f"{task_name}/{robot}", "envs": batch,
-                              "error": repr(e)[:200]}), flush=True)
+            emit({"env": f"{task_name}/{robot}", "envs": batch,
+                  "error": repr(e)[:200]})
             # dressing's Pallas cloth kernel has never run on real silicon:
             # if it faults (VMEM/lowering), re-bench once on the XLA path so
             # the round still records a dressing number
@@ -105,14 +121,11 @@ def main():
                 os.environ["AGT_CLOTH_KERNEL"] = "0"
                 try:
                     sps = bench_one(task_name, robot, batch, steps)
-                    print(json.dumps({"env": f"{task_name}/{robot}",
-                                      "envs": batch, "path": "xla",
-                                      "steps_per_s": round(sps, 1)}),
-                          flush=True)
+                    emit({"env": f"{task_name}/{robot}", "envs": batch,
+                          "path": "xla", "steps_per_s": round(sps, 1)})
                 except Exception as e2:
-                    print(json.dumps({"env": f"{task_name}/{robot}",
-                                      "envs": batch, "path": "xla",
-                                      "error": repr(e2)[:200]}), flush=True)
+                    emit({"env": f"{task_name}/{robot}", "envs": batch,
+                          "path": "xla", "error": repr(e2)[:200]})
                 finally:
                     del os.environ["AGT_CLOTH_KERNEL"]
 

@@ -43,6 +43,10 @@ def parse_args():
     p.add_argument("--shaping-decay", type=int, default=0,
                    help="updates over which the shaping coef anneals to 0 "
                         "(0 = constant)")
+    p.add_argument("--curriculum-decay", type=int, default=0,
+                   help="updates over which the task curriculum anneals "
+                        "back to reference parity (tasks exposing "
+                        "curriculum(state, c); 0 = disabled)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log-dir", default=None)
     p.add_argument("--ckpt-dir", default=None)
@@ -88,7 +92,8 @@ def main():
                         normalize_reward=not args.no_norm,
                         total_updates=args.updates if args.lr_decay else 0,
                         shaping_coef=args.shaping_coef,
-                        shaping_decay_updates=args.shaping_decay)
+                        shaping_decay_updates=args.shaping_decay,
+                        curriculum_decay_updates=args.curriculum_decay)
     print(f"env={args.env} devices={len(devices)} num_envs={num_envs}")
 
     if args.coop:
