@@ -46,9 +46,9 @@ fi
 # ---- stage 1: feeding warm-continue + shell curriculum
 if ! done_stage "train:feeding_r7"; then
     echo "=== $(date -u +%H:%M:%S) feeding_r7 (warm from r6, curriculum) ==="
-    timeout 4500 python train.py --env FeedingJaco-v0 --updates 800 --lr-decay \
-        --entropy-coef 0.0 --shaping-coef 30.0 --shaping-decay 350 \
-        --curriculum-decay 350 --seed 17 \
+    timeout 3600 python train.py --env FeedingJaco-v0 --updates 650 --lr-decay \
+        --entropy-coef 0.0 --shaping-coef 30.0 --shaping-decay 300 \
+        --curriculum-decay 300 --seed 17 \
         --init-from ckpts/feeding_r6 \
         --log-dir runs/feeding_r7 --ckpt-dir ckpts/feeding_r7 \
         >> runs/feeding_r7.out 2>&1
@@ -73,9 +73,9 @@ fi
 # ---- stage 2: drinking with tilt-gated shaping + shell curriculum
 if ! done_stage "train:drinking_r6"; then
     echo "=== $(date -u +%H:%M:%S) drinking_r6 (tilt-gated shaping + curriculum) ==="
-    timeout 6000 python train.py --env DrinkingJaco-v0 --updates 650 --lr-decay \
-        --entropy-coef 0.0 --shaping-coef 30.0 --shaping-decay 350 \
-        --curriculum-decay 350 --seed 7 \
+    timeout 4500 python train.py --env DrinkingJaco-v0 --updates 650 --lr-decay \
+        --entropy-coef 0.0 --shaping-coef 30.0 --shaping-decay 300 \
+        --curriculum-decay 300 --seed 7 \
         --log-dir runs/drinking_r6 --ckpt-dir ckpts/drinking_r6 \
         >> runs/drinking_r6.out 2>&1
     rc=$?
@@ -96,34 +96,7 @@ if ! done_stage "eval:drinking_r6"; then
     [ $rc -eq 0 ] && mark_stage "eval:drinking_r6"
 fi
 
-# ---- stage 3: coop feeding top-up with curriculum
-if ! done_stage "train:coop_feeding_r6"; then
-    echo "=== $(date -u +%H:%M:%S) coop_feeding_r6 (warm from r5, curriculum) ==="
-    timeout 2400 python train.py --env FeedingJacoHuman-v0 --coop \
-        --updates 400 --lr-decay --entropy-coef 0.0 \
-        --shaping-coef 30.0 --shaping-decay 250 --curriculum-decay 250 \
-        --seed 23 --init-from ckpts/coop_feeding_r5 \
-        --log-dir runs/coop_feeding_r6 --ckpt-dir ckpts/coop_feeding_r6 \
-        >> runs/coop_feeding_r6.out 2>&1
-    rc=$?
-    thin_ckpts ckpts/coop_feeding_r6
-    bank "round 5: bank coop_feeding_r6 curriculum run" runs/coop_feeding_r6 \
-        runs/coop_feeding_r6.out ckpts/coop_feeding_r6
-    [ $rc -eq 0 ] || [ $rc -eq 124 ] && mark_stage "train:coop_feeding_r6"
-fi
-if ! done_stage "eval:coop_feeding_r6"; then
-    echo "=== $(date -u +%H:%M:%S) eval FeedingJacoHuman-v0 ckpts/coop_feeding_r6 --coop ===" \
-        | tee -a docs/training/evals_r5.txt
-    timeout 900 stdbuf -oL -eL python tools/eval_policy.py --env FeedingJacoHuman-v0 \
-        --coop --ckpt-dir ckpts/coop_feeding_r6 --episodes 256 2>&1 \
-        | stdbuf -oL grep -v -E "WARNING|\*\*\*|slow_operation|Compiling" \
-        | tee -a docs/training/evals_r5.txt
-    rc=${PIPESTATUS[0]}
-    bank "round 5: bank eval FeedingJacoHuman-v0 (r6)" docs/training
-    [ $rc -eq 0 ] && mark_stage "eval:coop_feeding_r6"
-fi
-
-for run in feeding_r7 drinking_r6 coop_feeding_r6; do
+for run in feeding_r7 drinking_r6; do
     JAX_PLATFORMS=cpu python tools/plot_training.py runs/$run/metrics.jsonl \
         --out docs/training/${run}_curve.png 2>/dev/null
     cp runs/$run/metrics.csv docs/training/${run}_metrics.csv 2>/dev/null || true
