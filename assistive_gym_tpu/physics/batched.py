@@ -17,6 +17,7 @@ kinematics.link_velocities / link_wrenches_to_joint_torques.
 """
 from __future__ import annotations
 
+import os
 from typing import NamedTuple, Optional
 
 import jax
@@ -75,14 +76,19 @@ def _onehot(idx, n):
     return jnp.asarray(m)
 
 
+# Experimental: route the pair-table gathers/scatter-adds over the MXU as
+# static one-hot matmuls instead of TPU gather/scatter ops.  Measured on
+# silicon (runs/scratch_pr2_r5.out, session 3): for the PR2 scratch scene
+# this is a 2.3x REGRESSION (34.9 s/update vs 15.0) — the HIGHEST-precision
+# f32 emulation multiplies the matmul passes and P x L FLOPs swamp the
+# scatter cost it removes.  Kept behind AGT_CONTACT_MM=1 for kind-sized
+# A/B measurement (ext5 stage 0); default is the native gather/scatter path.
+_CONTACT_MM = os.environ.get("AGT_CONTACT_MM", "0") == "1"
+
+
 def _mm(M, x):
     """Exact f32 selection/accumulation matmul: [R, N] @ [N, B] -> [R, B].
 
-    Gathers (x[idx]) and scatter-adds (zeros.at[idx].add(x)) over the static
-    pair table lower to TPU gather/scatter ops that process the pair rows
-    serially — the round-5 drinking ablation measured the 25-substep contact
-    narrowphase at 69% of the whole step (step_parts_r5.jsonl).  A static
-    one-hot matmul does the same data movement on the MXU in one pass.
     HIGHEST precision keeps selection exact (1.0 * x with the bf16x-pass
     f32 emulation reconstructs x bit-for-bit; accumulation is f32)."""
     return jax.lax.dot(M, x, precision=jax.lax.Precision.HIGHEST)
@@ -132,9 +138,13 @@ def evaluate_batched(
     # ---- world geoms ----
     gl = np.maximum(gs.link, 0)
     is_world = (gs.link < 0)
-    Mgl = _onehot(gl, L)
-    lp = _mm3(Mgl, _c3(link_pos))
-    lq = [_mm(Mgl, link_quat[:, c]) for c in range(4)]
+    if _CONTACT_MM:
+        Mgl = _onehot(gl, L)
+        lp = _mm3(Mgl, _c3(link_pos))
+        lq = [_mm(Mgl, link_quat[:, c]) for c in range(4)]
+    else:
+        lp = _c3(link_pos[gl])
+        lq = [link_quat[gl][:, c] for c in range(4)]
     if is_world.any():
         wmask = jnp.asarray(is_world, f32)[:, None]
         lp = [c * (1.0 - wmask) for c in lp]
@@ -150,16 +160,20 @@ def evaluate_batched(
     else:
         w1 = p1w
 
-    # ---- pair gathers (static one-hot matmuls, see _mm) ----
+    # ---- pair gathers ----
     ia, ib = pt.a, pt.b
-    G = len(gs.link)
-    Ma, Mb = _onehot(ia, G), _onehot(ib, G)
-    a0 = _mm3(Ma, w0)
-    a1 = _mm3(Ma, w1)
-    ra = _mm(Ma, radius)
-    b0 = _mm3(Mb, w0)
-    b1 = _mm3(Mb, w1)
-    rb = _mm(Mb, radius)
+    if _CONTACT_MM:
+        G = len(gs.link)
+        Ma, Mb = _onehot(ia, G), _onehot(ib, G)
+        a0, a1, ra = _mm3(Ma, w0), _mm3(Ma, w1), _mm(Ma, radius)
+        b0, b1, rb = _mm3(Mb, w0), _mm3(Mb, w1), _mm(Mb, radius)
+    else:
+        a0 = [c[ia] for c in w0]
+        a1 = [c[ia] for c in w1]
+        ra = radius[ia]
+        b0 = [c[ib] for c in w0]
+        b1 = [c[ib] for c in w1]
+        rb = radius[ib]
 
     # ---- narrow phase: one contiguous pair slice per kind ----
     # the table is kind-sorted (contact.PairTable.build), so each
@@ -286,20 +300,26 @@ def evaluate_batched(
     # ---- contact velocities + penalty force (contact_force parity) ----
     la = np.maximum(gs.link[pt.a], 0)
     lb = np.maximum(gs.link[pt.b], 0)
-    Mla, Mlb = _onehot(la, L), _onehot(lb, L)
     aw = jnp.asarray(gs.link[pt.a] < 0, f32)[:, None]   # [P,1] vs [P,B]
     bw = jnp.asarray(gs.link[pt.b] < 0, f32)[:, None]
+    if _CONTACT_MM:
+        Mla, Mlb = _onehot(la, L), _onehot(lb, L)
+        sel_a = lambda x3: _mm3(Mla, _c3(x3))
+        sel_b = lambda x3: _mm3(Mlb, _c3(x3))
+    else:
+        sel_a = lambda x3: _c3(x3[la])
+        sel_b = lambda x3: _c3(x3[lb])
 
-    def vel_at(Ml, wmask, pts):
+    def vel_at(sel, wmask, pts):
         if link_v is None:
             return [jnp.zeros_like(pts[0])] * 3
-        v = _mm3(Ml, _c3(link_v))
-        w = _mm3(Ml, _c3(link_w))
-        arm = _sub(pts, _mm3(Ml, _c3(link_pos)))
+        v = sel(link_v)
+        w = sel(link_w)
+        arm = _sub(pts, sel(link_pos))
         vv = _add(v, _cross(w, arm))
         return [c * (1.0 - wmask) for c in vv]
 
-    rel_vel = _sub(vel_at(Mla, aw, point), vel_at(Mlb, bw, point))
+    rel_vel = _sub(vel_at(sel_a, aw, point), vel_at(sel_b, bw, point))
 
     stiff = jnp.asarray(pt.stiffness)[:, None]
     damp = jnp.asarray(pt.damping)[:, None]
@@ -316,15 +336,20 @@ def evaluate_batched(
     force = _add(_scale(fn, normal),
                  _scale(-f_t_mag * inv_vt * in_contact, v_t))
 
-    # ---- per-link wrench accumulation (transposed one-hot matmuls) ----
+    # ---- per-link wrench accumulation ----
     fa = [c * (1.0 - aw) for c in force]
     fb = [-c * (1.0 - bw) for c in force]
-    ta = _cross(_sub(point, _mm3(Mla, _c3(link_pos))), fa)
-    tb = _cross(_sub(point, _mm3(Mlb, _c3(link_pos))), fb)
-    MlaT, MlbT = Mla.T, Mlb.T                       # [L, P] scatter-add
-    lf = _s3(_add(_mm3(MlaT, fa), _mm3(MlbT, fb)))
-    lt = _s3(_add(_mm3(MlaT, ta), _mm3(MlbT, tb)))
-    group_fn = _mm(_onehot(pt.group, pt.ngroups).T, fn)
+    ta = _cross(_sub(point, sel_a(link_pos)), fa)
+    tb = _cross(_sub(point, sel_b(link_pos)), fb)
+    if _CONTACT_MM:
+        MlaT, MlbT = Mla.T, Mlb.T                   # [L, P] scatter-add
+        lf = _s3(_add(_mm3(MlaT, fa), _mm3(MlbT, fb)))
+        lt = _s3(_add(_mm3(MlaT, ta), _mm3(MlbT, tb)))
+        group_fn = _mm(_onehot(pt.group, pt.ngroups).T, fn)
+    else:
+        lf = (jnp.zeros((L, 3, B), f32).at[la].add(_s3(fa)).at[lb].add(_s3(fb)))
+        lt = (jnp.zeros((L, 3, B), f32).at[la].add(_s3(ta)).at[lb].add(_s3(tb)))
+        group_fn = jnp.zeros((pt.ngroups, B), f32).at[pt.group].add(fn)
     return ContactB(fn, dist, _s3(point), lf, lt, group_fn,
                     _s3(w0), _s3(w1))
 

@@ -58,7 +58,7 @@ fi
 
 if ! done_stage "train:scratch_pr2_b"; then
     echo "=== $(date -u +%H:%M:%S) scratch_pr2_r5 -> 500 updates ==="
-    timeout 5700 python train.py --env ScratchItchPR2-v0 --updates 500 \
+    timeout 3900 python train.py --env ScratchItchPR2-v0 --updates 500 \
         --lr-decay --entropy-coef 0.001 --seed 3 \
         --log-dir runs/scratch_pr2_r5 --ckpt-dir ckpts/scratch_pr2_r5 \
         >> runs/scratch_pr2_r5.out 2>&1

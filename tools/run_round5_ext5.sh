@@ -32,14 +32,14 @@ thin_ckpts() {
 
 # ---- stage 0: narrowphase matmul A/B on silicon (fast, evidence-first)
 if ! done_stage "bench:narrowphase_mm"; then
-    echo "=== $(date -u +%H:%M:%S) drinking/feeding step-parts bench (matmul narrowphase) ==="
-    timeout 1500 python tools/bench_step_parts.py --env DrinkingJaco-v0 \
-        --out docs/bench/step_parts_r5mm.jsonl
+    echo "=== $(date -u +%H:%M:%S) contact-path A/B bench (gather/scatter vs one-hot matmul) ==="
+    timeout 900 python tools/bench_all.py --tasks drinking/jaco feeding/jaco \
+        --out docs/bench/bench_contact_default_r5.jsonl
     rc=$?
-    timeout 900 python tools/bench_all.py \
-        --tasks drinking/jaco feeding/jaco scratch_itch/jaco \
-        --out docs/bench/bench_mm_r5.jsonl || true
-    bank "round 5: bank incidence-matmul narrowphase silicon A/B" docs/bench
+    AGT_CONTACT_MM=1 timeout 900 python tools/bench_all.py \
+        --tasks drinking/jaco feeding/jaco \
+        --out docs/bench/bench_contact_mm_r5.jsonl || true
+    bank "round 5: bank contact-path silicon A/B (default vs AGT_CONTACT_MM)" docs/bench
     [ $rc -eq 0 ] && mark_stage "bench:narrowphase_mm"
 fi
 
