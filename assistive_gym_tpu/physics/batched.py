@@ -76,14 +76,18 @@ def _onehot(idx, n):
     return jnp.asarray(m)
 
 
-# Experimental: route the pair-table gathers/scatter-adds over the MXU as
-# static one-hot matmuls instead of TPU gather/scatter ops.  Measured on
-# silicon (runs/scratch_pr2_r5.out, session 3): for the PR2 scratch scene
-# this is a 2.3x REGRESSION (34.9 s/update vs 15.0) — the HIGHEST-precision
-# f32 emulation multiplies the matmul passes and P x L FLOPs swamp the
-# scatter cost it removes.  Kept behind AGT_CONTACT_MM=1 for kind-sized
-# A/B measurement (ext5 stage 0); default is the native gather/scatter path.
-_CONTACT_MM = os.environ.get("AGT_CONTACT_MM", "0") == "1"
+# Route the pair-table gathers/scatter-adds over the MXU as static one-hot
+# matmuls instead of TPU gather/scatter ops.  Matched A/B on a quiet host
+# (ext5 stage 0, docs/bench/bench_contact_{default,mm}_r5.jsonl):
+#   feeding  171,850 -> 241,668 env-steps/s (+41%)
+#   drinking  83,101 -> 113,459 env-steps/s (+37%)
+# — the serialized scatter/gather rows were the narrowphase bottleneck the
+# round-5 ablation measured at 67-69% of the drinking step.  Equivalence vs
+# the gather/scatter path is pinned by test_evaluate_batched_matches (both
+# paths).  AGT_CONTACT_MM=0 restores the native gather/scatter lowering.
+# (A first reading that suggested a PR2 regression was confounded twice
+# over: host contention, and the same slowdown reproduced on BOTH paths.)
+_CONTACT_MM = os.environ.get("AGT_CONTACT_MM", "1") == "1"
 
 
 def _mm(M, x):
