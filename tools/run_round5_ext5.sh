@@ -73,7 +73,7 @@ fi
 # ---- stage 2: drinking with tilt-gated shaping + shell curriculum
 if ! done_stage "train:drinking_r6"; then
     echo "=== $(date -u +%H:%M:%S) drinking_r6 (tilt-gated shaping + curriculum) ==="
-    timeout 4500 python train.py --env DrinkingJaco-v0 --updates 650 --lr-decay \
+    timeout 4500 python train.py --env DrinkingJaco-v0 --updates 500 --lr-decay \
         --entropy-coef 0.0 --shaping-coef 30.0 --shaping-decay 300 \
         --curriculum-decay 300 --seed 7 \
         --log-dir runs/drinking_r6 --ckpt-dir ckpts/drinking_r6 \
