@@ -335,7 +335,13 @@ class DrinkingTask:
         water_pull = -(jnp.sum(jnp.where(alive, d_w, 0.0))
                        / jnp.maximum(jnp.sum(alive), 1))
         d_cup = jnp.linalg.norm(aux["cup_top"] - aux["target_pos"])
-        gate = jax.nn.sigmoid((0.10 - d_cup) / 0.02)
+        # gate center 18 cm: the distance-reward optimum physically parks
+        # the cup-top at ~11.5 cm from the mouth point (face collision —
+        # measured on the converged drinking_r5 policy, session-3 probe in
+        # ROUND5_NOTES.md), so a 10 cm gate left the tilt term at ~0.3 gain
+        # exactly where the policy sits.  18 cm/0.04 puts the park distance
+        # deep inside the gate (~0.84) while still zeroing far-field tilt.
+        gate = jax.nn.sigmoid((0.18 - d_cup) / 0.04)
         tilt = jnp.minimum(aux["tilt_err"], 2.2) / 2.2
         return 0.3 * water_pull + 0.5 * gate * tilt
 
