@@ -51,7 +51,7 @@ def init(task, cfg: PPOConfig, key: jax.Array, mesh: Mesh = None):
     tx = cfg.make_tx()
 
     def sub_state(k, obs_len, act_len):
-        net = ActorCritic(act_len, cfg.hidden)
+        net = ActorCritic(act_len, cfg.hidden, cfg.log_std_max)
         params = net.init(k, jnp.zeros((obs_len,), jnp.float32))
         return ppo.TrainState(params=params, opt_state=tx.init(params),
                               key=jax.random.fold_in(k, 1),
@@ -80,8 +80,8 @@ def init(task, cfg: PPOConfig, key: jax.Array, mesh: Mesh = None):
 
 def make_train_step(task, cfg: PPOConfig, mesh: Mesh = None):
     (or0, or1), (oh0, oh1), (ar0, ar1), (ah0, ah1) = _slices(task)
-    net_r = ActorCritic(ar1 - ar0, cfg.hidden)
-    net_h = ActorCritic(ah1 - ah0, cfg.hidden)
+    net_r = ActorCritic(ar1 - ar0, cfg.hidden, cfg.log_std_max)
+    net_h = ActorCritic(ah1 - ah0, cfg.hidden, cfg.log_std_max)
     tx = cfg.make_tx()
     # same batched-env-step selection as ppo.make_train_step
     if hasattr(task, "step_batched"):

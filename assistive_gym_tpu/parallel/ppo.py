@@ -64,6 +64,8 @@ class PPOConfig:
     # shell) and anneal back to reference parity.  Evaluation always runs
     # the task's parity semantics (reset leaves the curriculum at c=0).
     curriculum_decay_updates: int = 0
+    # upper clamp for the policy log_std (see ActorCritic.log_std_max)
+    log_std_max: float = 0.0
 
     def make_tx(self):
         if self.total_updates > 0:
@@ -78,6 +80,13 @@ class PPOConfig:
 class ActorCritic(nn.Module):
     action_dim: int
     hidden: int = 64
+    # upper clamp on the state-independent log_std parameter.  0.0 keeps the
+    # historical behavior; a tighter cap (e.g. -0.7 -> sigma 0.5) is the
+    # anti-plateau lever for tasks where entropy pins near the cap and
+    # sampled rollouts stay noise-dominated while the deterministic mean is
+    # competent (every feeding run: entropy ~8.8, per-dim sigma ~0.9 on
+    # [-1,1]-clipped actions — ROUND5_NOTES.md).
+    log_std_max: float = 0.0
 
     @nn.compact
     def __call__(self, obs):
@@ -91,7 +100,7 @@ class ActorCritic(nn.Module):
         # clamp: with an entropy bonus the unconstrained parameter can run
         # away once lr decay freezes the policy gradient (seen on the
         # feeding run: std ~1.3 saturates the [-1,1] action clip)
-        log_std = jnp.clip(log_std, -5.0, 0.0)
+        log_std = jnp.clip(log_std, -5.0, self.log_std_max)
         v = obs
         for _ in range(2):
             v = nn.tanh(nn.Dense(self.hidden)(v))
@@ -150,7 +159,7 @@ def _gaussian_logp(mean, log_std, a):
 
 
 def init(task, cfg: PPOConfig, key: jax.Array, mesh: Mesh = None):
-    net = ActorCritic(task.spec.action_len, cfg.hidden)
+    net = ActorCritic(task.spec.action_len, cfg.hidden, cfg.log_std_max)
     k_params, k_env, k_state = jax.random.split(key, 3)
     obs0 = jnp.zeros((task.spec.obs_len,), jnp.float32)
     params = net.init(k_params, obs0)
@@ -180,7 +189,7 @@ def init(task, cfg: PPOConfig, key: jax.Array, mesh: Mesh = None):
 
 
 def make_train_step(task, cfg: PPOConfig, mesh: Mesh = None):
-    net = ActorCritic(task.spec.action_len, cfg.hidden)
+    net = ActorCritic(task.spec.action_len, cfg.hidden, cfg.log_std_max)
     tx = cfg.make_tx()
     # Batched env step: the fused Pallas dynamics path when the task provides
     # it.  Under a multi-device mesh the batched step is shard_mapped over

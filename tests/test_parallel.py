@@ -330,3 +330,27 @@ def test_dryrun_multichip_catches_sharding_divergence(monkeypatch):
     monkeypatch.setattr(ppo, "init", desynced_init)
     with pytest.raises(AssertionError, match="sharded-vs-unsharded"):
         graft.dryrun_multichip(8)
+
+
+def test_log_std_cap_clamps_sampling_std():
+    """--log-std-max lever (ROUND5_NOTES.md): a tighter upper clamp on the
+    state-independent log_std must bound the sampling std without touching
+    the parameter pytree (checkpoints stay warm-start compatible)."""
+    key = jax.random.PRNGKey(0)
+    obs = jnp.zeros((17,), jnp.float32)
+    net0 = ppo.ActorCritic(7, 64)                    # historical default
+    netc = ppo.ActorCritic(7, 64, log_std_max=-0.7)  # capped
+    params = net0.init(key, obs)
+    # same param pytree works under both modules (cap is a module field)
+    _, ls0, _ = net0.apply(params, obs)
+    _, lsc, _ = netc.apply(params, obs)
+    # init constant is -0.5: uncapped passes through, cap pulls it to -0.7
+    assert np.allclose(np.asarray(ls0), -0.5)
+    assert np.allclose(np.asarray(lsc), -0.7)
+    # force the parameter above both limits and re-check the clamp
+    hot = jax.tree.map(lambda x: x, params)
+    hot["params"]["log_std"] = jnp.full((7,), 2.0)
+    _, ls0, _ = net0.apply(hot, obs)
+    _, lsc, _ = netc.apply(hot, obs)
+    assert np.allclose(np.asarray(ls0), 0.0)
+    assert np.allclose(np.asarray(lsc), -0.7)

@@ -55,6 +55,12 @@ def parse_args():
                    help="warm-start params + obs/ret normalization stats from "
                         "another run's checkpoint (fresh optimizer, fresh lr/"
                         "shaping schedules); ignored when resuming")
+    p.add_argument("--log-std-max", type=float, default=0.0,
+                   help="upper clamp on the policy log_std parameter "
+                        "(default 0.0 = sigma <= 1; e.g. -0.7 caps sigma at "
+                        "0.5 so late training refines the mean instead of "
+                        "re-averaging noise — the anti-plateau lever from "
+                        "ROUND5_NOTES.md)")
     p.add_argument("--no-mesh", action="store_true",
                    help="single-device, no sharding (debug)")
     p.add_argument("--debug-nans", action="store_true",
@@ -93,7 +99,8 @@ def main():
                         total_updates=args.updates if args.lr_decay else 0,
                         shaping_coef=args.shaping_coef,
                         shaping_decay_updates=args.shaping_decay,
-                        curriculum_decay_updates=args.curriculum_decay)
+                        curriculum_decay_updates=args.curriculum_decay,
+                        log_std_max=args.log_std_max)
     print(f"env={args.env} devices={len(devices)} num_envs={num_envs}")
 
     if args.coop:
